@@ -1,0 +1,41 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+The session environment registers a remote TPU ('axon') backend via
+sitecustomize and forces jax_platforms to it programmatically, so setting the
+JAX_PLATFORMS env var is not enough — we must update jax.config before any
+backend is initialized.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_PATH = "/root/reference"
+
+if os.path.isdir(REFERENCE_PATH) and REFERENCE_PATH not in sys.path:
+    # parity tests import the reference implementation (torch CPU)
+    sys.path.insert(0, REFERENCE_PATH)
+
+import pytest  # noqa: E402
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_PATH)
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not available"
+)

@@ -1,0 +1,671 @@
+"""TTS Zipformer backbone in JAX/flax, designed for TPU.
+
+A from-scratch functional reimplementation of the U-Net-style Zipformer stack
+used by ZipVoice (reference: /root/reference/zipvoice/models/modules/zipformer.py).
+Differences from the reference that are intentional TPU-first design choices:
+
+- batch-major layout (B, T, C) everywhere (the reference is time-major);
+- static shapes: sequence length is fixed per compiled program (length
+  bucketing happens in the caller); padding is carried via boolean masks;
+- the rel->abs position-score conversion (reference zipformer.py:1239-1248
+  uses ``as_strided``) is a gather with a precomputed (T, T) index map that
+  XLA lowers to an efficient dynamic-slice pattern;
+- all training-only gradient-shaping modules (Balancer/Whiten/...) are
+  identity at inference (proof: the reference's ONNX export strips them,
+  zipvoice/utils/scaling_converter.py) and are applied as custom-vjp hooks
+  only when ``train=True``;
+- fp32 parameters with a configurable compute dtype (bf16 on TPU for speed).
+
+Numerical parity targets (verified by tests/test_zipformer_parity.py against
+the reference run on CPU):
+- timestep_embedding: reference zipformer.py:47-69
+- CompactRelPositionalEncoding: reference zipformer.py:938-1056
+- RelPositionMultiheadAttentionWeights: reference zipformer.py:1059-1306
+- SelfAttention: :1325-1396, NonlinAttention: :1442-1544,
+  FeedforwardModule: :1399-1439, ConvolutionModule: :1547-1680,
+  BypassModule: :747-804, SimpleDownsample/Upsample: :873-935,
+  Zipformer2EncoderLayer forward ordering: :489-642.
+"""
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from zipvoice_tpu.ops.scaling import bias_norm, swoosh_l, swoosh_r
+
+
+# ---------------------------------------------------------------------------
+# Initializers matching torch semantics (so training-from-scratch starts from
+# the same distribution family as the reference).
+# ---------------------------------------------------------------------------
+
+
+def torch_linear_kernel_init(scale: float = 1.0):
+    """torch nn.Linear default init (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)))
+    times ScaledLinear's initial_scale (reference scaling.py:475-495)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0]
+        bound = 1.0 / math.sqrt(fan_in) * scale
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_linear_bias_init(fan_in: int, scale: float = 1.0):
+    """torch default bias U(+-1/sqrt(fan_in)); ScaledLinear overrides with
+    U(+-0.1*initial_scale) (reference scaling.py:494)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        if scale == 1.0:
+            bound = 1.0 / math.sqrt(fan_in)
+        else:
+            bound = 0.1 * scale
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def dense(features: int, fan_in: int, *, use_bias: bool = True,
+          initial_scale: float = 1.0, dtype=jnp.float32, name: str = None):
+    """nn.Dense with torch-compatible init (ScaledLinear when initial_scale != 1)."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=torch_linear_kernel_init(initial_scale),
+        bias_init=torch_linear_bias_init(fan_in, initial_scale),
+        name=name,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional / timestep embeddings
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep embedding (reference zipformer.py:47-69).
+
+    t: (B,) -> (B, dim); layout is [cos(all freqs), sin(all freqs)].
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[..., None] * freqs
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[..., :1])], axis=-1)
+    return emb
+
+
+def compact_rel_pos_encoding(
+    seq_len: int, pos_dim: int, length_factor: float = 1.0
+) -> jax.Array:
+    """Compact relative positional encoding table, shape (2T-1, pos_dim).
+
+    Row n encodes relative offset n - (T-1) in [-(T-1), T-1]: a log-compressed,
+    atan-warped Fourier basis with the last channel pinned to 1.0 as a bias
+    (reference zipformer.py:983-1032).  Pure function of the offset, so
+    building it at length T equals slicing the reference's cached max-length
+    table (zipformer.py:1044-1055).
+    """
+    T = seq_len
+    x = jnp.arange(-(T - 1), T, dtype=jnp.float32)[:, None]
+    freqs = 1.0 + jnp.arange(pos_dim // 2, dtype=jnp.float32)
+    compression_length = pos_dim ** 0.5
+    x_compressed = (
+        compression_length
+        * jnp.sign(x)
+        * (jnp.log(jnp.abs(x) + compression_length) - math.log(compression_length))
+    )
+    length_scale = length_factor * pos_dim / (2.0 * math.pi)
+    x_atan = jnp.arctan(x_compressed / length_scale)
+    cosines = jnp.cos(x_atan * freqs)
+    sines = jnp.sin(x_atan * freqs)
+    # interleave: pe[:, 0::2] = cos, pe[:, 1::2] = sin, then pe[:, -1] = 1.0
+    pe = jnp.stack([cosines, sines], axis=-1).reshape(2 * T - 1, pos_dim)
+    pe = pe.at[:, -1].set(1.0)
+    return pe
+
+
+# ---------------------------------------------------------------------------
+# Sub-modules
+# ---------------------------------------------------------------------------
+
+
+class BiasNorm(nn.Module):
+    """BiasNorm (reference scaling.py:393-472)."""
+
+    num_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        log_scale = self.param("log_scale", lambda k: jnp.asarray(1.0, jnp.float32))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_channels,))
+        return bias_norm(x, bias, log_scale)
+
+
+class BypassModule(nn.Module):
+    """Learnable per-channel bypass scale (reference zipformer.py:747-804).
+
+    Eval path only; the train-time clamp (limit_param_value on scale_min/max)
+    and layer-skip are handled by the training wrapper.
+    """
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, src_orig, src):
+        scale = self.param(
+            "bypass_scale", lambda k, s: jnp.full(s, 0.5, jnp.float32),
+            (self.embed_dim,),
+        )
+        return src_orig + (src - src_orig) * scale
+
+
+class RelPosAttentionWeights(nn.Module):
+    """Relative-position attention weights (reference zipformer.py:1059-1306).
+
+    Produces (B, num_heads, T, T) softmaxed weights consumed by SelfAttention
+    and NonlinAttention.  The 1/sqrt(d) scaling is baked into in_proj's
+    initial_scale (query_head_dim ** -0.25), matching the reference.
+    """
+
+    embed_dim: int
+    pos_dim: int
+    num_heads: int
+    query_head_dim: int
+    pos_head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_emb, key_padding_mask=None):
+        h, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
+        B, T, _ = x.shape
+        proj = dense(
+            (2 * qd + pd) * h, self.embed_dim,
+            initial_scale=qd ** -0.25, dtype=self.dtype, name="in_proj",
+        )(x)
+        q = proj[..., : h * qd].reshape(B, T, h, qd)
+        k = proj[..., h * qd : 2 * h * qd].reshape(B, T, h, qd)
+        p = proj[..., 2 * h * qd :].reshape(B, T, h, pd)
+
+        attn_scores = jnp.einsum("bthd,bshd->bhts", q, k)
+
+        # positional part: project pos table per head, then rel->abs gather
+        pe = dense(
+            h * pd, self.pos_dim, use_bias=False,
+            initial_scale=0.05, dtype=self.dtype, name="linear_pos",
+        )(pos_emb).reshape(2 * T - 1, h, pd)
+        pos_scores = jnp.einsum("bthd,nhd->bhtn", p, pe)
+        # abs_score[i, j] = rel_score[i, (j - i) + T - 1]
+        # (defined by the reference's as_strided at zipformer.py:1239-1248)
+        rel_idx = (
+            jnp.arange(T)[None, :] - jnp.arange(T)[:, None] + (T - 1)
+        )  # (T_tgt, T_src)
+        pos_scores = jnp.take_along_axis(
+            pos_scores, rel_idx[None, None, :, :], axis=-1
+        )
+        attn_scores = attn_scores + pos_scores
+
+        if key_padding_mask is not None:
+            # -1000 (not -inf) so that fully-masked rows stay finite
+            # (reference zipformer.py:1273-1289)
+            attn_scores = jnp.where(
+                key_padding_mask[:, None, None, :], -1000.0, attn_scores
+            )
+        return jax.nn.softmax(attn_scores.astype(jnp.float32), axis=-1).astype(
+            attn_scores.dtype
+        )
+
+
+class SelfAttention(nn.Module):
+    """Attention application with precomputed weights (reference :1325-1396)."""
+
+    embed_dim: int
+    num_heads: int
+    value_head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_weights):
+        B, T, _ = x.shape
+        h, vd = self.num_heads, self.value_head_dim
+        v = dense(h * vd, self.embed_dim, dtype=self.dtype, name="in_proj")(x)
+        v = v.reshape(B, T, h, vd)
+        out = jnp.einsum("bhts,bshd->bthd", attn_weights, v)
+        out = out.reshape(B, T, h * vd)
+        return dense(
+            self.embed_dim, h * vd, initial_scale=0.05, dtype=self.dtype,
+            name="out_proj",
+        )(out)
+
+
+class NonlinAttention(nn.Module):
+    """Attention-weight-reuse conv replacement (reference :1442-1544).
+
+    Uses only head 0's attention weights across all hidden channels.
+    """
+
+    channels: int
+    hidden_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_weights_head0):
+        # attn_weights_head0: (B, T, T)
+        proj = dense(
+            self.hidden_channels * 3, self.channels, dtype=self.dtype,
+            name="in_proj",
+        )(x)
+        s, v, y = jnp.split(proj, 3, axis=-1)
+        v = v * jnp.tanh(s)
+        v = jnp.einsum("bts,bsd->btd", attn_weights_head0, v)
+        v = v * y
+        return dense(
+            self.channels, self.hidden_channels, initial_scale=0.05,
+            dtype=self.dtype, name="out_proj",
+        )(v)
+
+
+class FeedforwardModule(nn.Module):
+    """FF module: Linear -> SwooshL -> (dropout) -> Linear (reference :1399-1439)."""
+
+    embed_dim: int
+    feedforward_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, dropout_rate: float = 0.0):
+        x = dense(
+            self.feedforward_dim, self.embed_dim, dtype=self.dtype, name="in_proj"
+        )(x)
+        x = swoosh_l(x)
+        if train and dropout_rate > 0.0:
+            # shared along the time axis (reference dropout_shared_dim=0)
+            x = nn.Dropout(
+                rate=dropout_rate, broadcast_dims=(1,), deterministic=False
+            )(x)
+        x = dense(
+            self.embed_dim, self.feedforward_dim, initial_scale=0.1,
+            dtype=self.dtype, name="out_proj",
+        )(x)
+        return x
+
+
+class ConvolutionModule(nn.Module):
+    """Sigmoid-GLU -> depthwise conv1d -> SwooshR -> Linear (reference :1547-1680)."""
+
+    channels: int
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None):
+        C, k = self.channels, self.kernel_size
+        proj = dense(2 * C, C, dtype=self.dtype, name="in_proj")(x)
+        v, s = jnp.split(proj, 2, axis=-1)
+        v = v * jax.nn.sigmoid(s)
+        if key_padding_mask is not None:
+            v = jnp.where(key_padding_mask[:, :, None], 0.0, v)
+        # depthwise conv over time, SAME padding; torch weight (C,1,k) is
+        # stored here as (k, C) and reshaped to WIO=(k, 1, C)
+        fan_in = k  # = in_channels/groups * kernel_size
+        w = self.param(
+            "depthwise_weight", torch_linear_kernel_init(1.0), (fan_in, C)
+        )
+        b = self.param("depthwise_bias", torch_linear_bias_init(fan_in), (C,))
+        v = jax.lax.conv_general_dilated(
+            v.astype(self.dtype),
+            w.reshape(k, 1, C).astype(self.dtype),
+            window_strides=(1,),
+            padding=[(k // 2, k // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=C,
+        ) + b.astype(self.dtype)
+        v = swoosh_r(v)
+        return dense(
+            C, C, initial_scale=0.05, dtype=self.dtype, name="out_proj"
+        )(v)
+
+
+class ZipformerEncoderLayer(nn.Module):
+    """One Zipformer2 layer (forward ordering: reference zipformer.py:489-642)."""
+
+    embed_dim: int
+    pos_dim: int
+    num_heads: int
+    query_head_dim: int
+    pos_head_dim: int
+    value_head_dim: int
+    feedforward_dim: int
+    cnn_module_kernel: int
+    use_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src,
+        pos_emb,
+        time_emb=None,
+        key_padding_mask=None,
+        *,
+        train: bool = False,
+        dropout_rate: float = 0.0,
+    ):
+        d = self.embed_dim
+        src_orig = src
+
+        attn_weights = RelPosAttentionWeights(
+            embed_dim=d,
+            pos_dim=self.pos_dim,
+            num_heads=self.num_heads,
+            query_head_dim=self.query_head_dim,
+            pos_head_dim=self.pos_head_dim,
+            dtype=self.dtype,
+            name="self_attn_weights",
+        )(src, pos_emb, key_padding_mask)
+
+        ff_kw = dict(train=train, dropout_rate=dropout_rate)
+
+        if time_emb is not None:
+            src = src + time_emb
+        src = src + FeedforwardModule(
+            embed_dim=d, feedforward_dim=(self.feedforward_dim * 3) // 4,
+            dtype=self.dtype, name="feed_forward1",
+        )(src, **ff_kw)
+
+        src = src + NonlinAttention(
+            channels=d, hidden_channels=3 * d // 4, dtype=self.dtype,
+            name="nonlin_attention",
+        )(src, attn_weights[:, 0])
+
+        src = src + SelfAttention(
+            embed_dim=d, num_heads=self.num_heads,
+            value_head_dim=self.value_head_dim, dtype=self.dtype,
+            name="self_attn1",
+        )(src, attn_weights)
+
+        if self.use_conv:
+            if time_emb is not None:
+                src = src + time_emb
+            src = src + ConvolutionModule(
+                channels=d, kernel_size=self.cnn_module_kernel,
+                dtype=self.dtype, name="conv_module1",
+            )(src, key_padding_mask)
+
+        src = src + FeedforwardModule(
+            embed_dim=d, feedforward_dim=self.feedforward_dim,
+            dtype=self.dtype, name="feed_forward2",
+        )(src, **ff_kw)
+
+        src = BypassModule(embed_dim=d, name="bypass_mid")(src_orig, src)
+
+        src = src + SelfAttention(
+            embed_dim=d, num_heads=self.num_heads,
+            value_head_dim=self.value_head_dim, dtype=self.dtype,
+            name="self_attn2",
+        )(src, attn_weights)
+
+        if self.use_conv:
+            if time_emb is not None:
+                src = src + time_emb
+            src = src + ConvolutionModule(
+                channels=d, kernel_size=self.cnn_module_kernel,
+                dtype=self.dtype, name="conv_module2",
+            )(src, key_padding_mask)
+
+        src = src + FeedforwardModule(
+            embed_dim=d, feedforward_dim=(self.feedforward_dim * 5) // 4,
+            dtype=self.dtype, name="feed_forward3",
+        )(src, **ff_kw)
+
+        src = BiasNorm(num_channels=d, name="norm")(src)
+        src = BypassModule(embed_dim=d, name="bypass")(src_orig, src)
+        return src
+
+
+class ZipformerEncoder(nn.Module):
+    """Stack of encoder layers sharing one positional table (reference :645-744)."""
+
+    num_layers: int
+    embed_dim: int
+    time_embed_dim: int  # -1 => no time embedding
+    pos_dim: int
+    num_heads: int
+    query_head_dim: int
+    pos_head_dim: int
+    value_head_dim: int
+    feedforward_dim: int
+    cnn_module_kernel: int
+    use_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, src, time_emb=None, key_padding_mask=None, *,
+        train: bool = False, dropout_rate: float = 0.0,
+    ):
+        T = src.shape[1]
+        pos_emb = compact_rel_pos_encoding(T, self.pos_dim).astype(src.dtype)
+        if train and dropout_rate > 0.0:
+            # reference uses Dropout2(0.15) on the whole pos table
+            pos_emb = nn.Dropout(rate=0.15, deterministic=False)(pos_emb)
+
+        if self.time_embed_dim != -1:
+            assert time_emb is not None
+            # reference: nn.Sequential(SwooshR(), Linear(time_embed_dim, embed_dim))
+            time_emb = dense(
+                self.embed_dim, self.time_embed_dim, dtype=self.dtype,
+                name="time_emb_proj",
+            )(swoosh_r(time_emb))
+            time_emb = time_emb[:, None, :]  # (B, 1, D) broadcast over time
+        else:
+            assert time_emb is None
+
+        out = src
+        for i in range(self.num_layers):
+            out = ZipformerEncoderLayer(
+                embed_dim=self.embed_dim,
+                pos_dim=self.pos_dim,
+                num_heads=self.num_heads,
+                query_head_dim=self.query_head_dim,
+                pos_head_dim=self.pos_head_dim,
+                value_head_dim=self.value_head_dim,
+                feedforward_dim=self.feedforward_dim,
+                cnn_module_kernel=self.cnn_module_kernel,
+                use_conv=self.use_conv,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(
+                out, pos_emb, time_emb, key_padding_mask,
+                train=train, dropout_rate=dropout_rate,
+            )
+        return out
+
+
+class EncoderStack(nn.Module):
+    """One U-Net stack: optional softmax-weighted temporal downsampling around
+    a ZipformerEncoder (reference DownsampledZipformer2Encoder :807-935)."""
+
+    downsample_factor: int
+    num_layers: int
+    embed_dim: int
+    time_embed_dim: int
+    pos_dim: int
+    num_heads: int
+    query_head_dim: int
+    pos_head_dim: int
+    value_head_dim: int
+    feedforward_dim: int
+    cnn_module_kernel: int
+    use_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, src, time_emb=None, key_padding_mask=None, *,
+        train: bool = False, dropout_rate: float = 0.0,
+    ):
+        ds = self.downsample_factor
+        encoder = ZipformerEncoder(
+            num_layers=self.num_layers,
+            embed_dim=self.embed_dim,
+            time_embed_dim=self.time_embed_dim,
+            pos_dim=self.pos_dim,
+            num_heads=self.num_heads,
+            query_head_dim=self.query_head_dim,
+            pos_head_dim=self.pos_head_dim,
+            value_head_dim=self.value_head_dim,
+            feedforward_dim=self.feedforward_dim,
+            cnn_module_kernel=self.cnn_module_kernel,
+            use_conv=self.use_conv,
+            dtype=self.dtype,
+            name="encoder",
+        )
+        if ds == 1:
+            return encoder(
+                src, time_emb, key_padding_mask,
+                train=train, dropout_rate=dropout_rate,
+            )
+
+        src_orig = src
+        B, T, C = src.shape
+        d_seq_len = (T + ds - 1) // ds
+        pad = d_seq_len * ds - T
+        if pad > 0:
+            # right-pad repeating the last frame (reference :897-901)
+            src = jnp.concatenate(
+                [src, jnp.broadcast_to(src[:, -1:, :], (B, pad, C))], axis=1
+            )
+        src = src.reshape(B, d_seq_len, ds, C)
+        ds_bias = self.param(
+            "downsample_bias", nn.initializers.zeros, (ds,)
+        )
+        weights = jax.nn.softmax(ds_bias)[None, None, :, None]
+        src = jnp.sum(src * weights.astype(src.dtype), axis=2)
+
+        mask_ds = None
+        if key_padding_mask is not None:
+            mask_ds = key_padding_mask[:, ::ds]
+
+        src = encoder(
+            src, time_emb, mask_ds, train=train, dropout_rate=dropout_rate
+        )
+
+        # upsample by repetition, trim, combine (reference :866-870,916-935)
+        src = jnp.repeat(src, ds, axis=1)[:, :T]
+        return BypassModule(embed_dim=C, name="out_combiner")(src_orig, src)
+
+
+class TTSZipformer(nn.Module):
+    """The full TTS Zipformer (reference zipformer.py:72-293).
+
+    Call: (B, T, in_dim) [+ t (B,), padding_mask (B,T), guidance_scale (B,)]
+    -> (B, T, out_dim).
+    """
+
+    in_dim: int
+    out_dim: int
+    downsampling_factor: Sequence[int] = (2, 4)
+    num_encoder_layers: Sequence[int] = (4,)
+    cnn_module_kernel: Sequence[int] = (31,)
+    encoder_dim: int = 384
+    query_head_dim: int = 24
+    pos_head_dim: int = 4
+    value_head_dim: int = 12
+    num_heads: int = 8
+    feedforward_dim: int = 1536
+    pos_dim: int = 192
+    use_time_embed: bool = True
+    time_embed_dim: int = 192
+    use_guidance_scale_embed: bool = False
+    guidance_scale_embed_dim: int = 192
+    use_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def _per_stack(self, val):
+        n = len(self.downsampling_factor)
+        if isinstance(val, int):
+            return (val,) * n
+        if len(val) == 1:
+            return tuple(val) * n
+        assert len(val) == n
+        return tuple(val)
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        t: Optional[jax.Array] = None,
+        padding_mask: Optional[jax.Array] = None,
+        guidance_scale: Optional[jax.Array] = None,
+        *,
+        train: bool = False,
+        dropout_rate: float = 0.0,
+    ):
+        num_layers = self._per_stack(self.num_encoder_layers)
+        kernels = self._per_stack(self.cnn_module_kernel)
+
+        x = dense(
+            self.encoder_dim, self.in_dim, dtype=self.dtype, name="in_proj"
+        )(x)
+
+        if t is not None:
+            assert self.use_time_embed
+            time_emb = timestep_embedding(t, self.time_embed_dim)
+            if guidance_scale is not None:
+                gs_emb = timestep_embedding(
+                    guidance_scale, self.guidance_scale_embed_dim
+                )
+                gs_emb = dense(
+                    self.time_embed_dim, self.guidance_scale_embed_dim,
+                    use_bias=False, initial_scale=0.1, dtype=self.dtype,
+                    name="guidance_scale_embed",
+                )(gs_emb)
+                time_emb = time_emb + gs_emb
+            # reference MLP: Linear(d, 2d) -> SwooshR -> Linear(2d, d)
+            time_emb = dense(
+                self.time_embed_dim * 2, self.time_embed_dim, dtype=self.dtype,
+                name="time_embed_in",
+            )(time_emb)
+            time_emb = swoosh_r(time_emb)
+            time_emb = dense(
+                self.time_embed_dim, self.time_embed_dim * 2, dtype=self.dtype,
+                name="time_embed_out",
+            )(time_emb)
+        else:
+            time_emb = None
+
+        for i, ds in enumerate(self.downsampling_factor):
+            x = EncoderStack(
+                downsample_factor=ds,
+                num_layers=num_layers[i],
+                embed_dim=self.encoder_dim,
+                time_embed_dim=self.time_embed_dim if self.use_time_embed else -1,
+                pos_dim=self.pos_dim,
+                num_heads=self.num_heads,
+                query_head_dim=self.query_head_dim,
+                pos_head_dim=self.pos_head_dim,
+                value_head_dim=self.value_head_dim,
+                feedforward_dim=self.feedforward_dim,
+                cnn_module_kernel=kernels[i],
+                use_conv=self.use_conv,
+                dtype=self.dtype,
+                name=f"encoders_{i}",
+            )(
+                x, time_emb, padding_mask,
+                train=train, dropout_rate=dropout_rate,
+            )
+
+        x = dense(
+            self.out_dim, self.encoder_dim, dtype=self.dtype, name="out_proj"
+        )(x)
+        return x
