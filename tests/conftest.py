@@ -29,6 +29,30 @@ if os.path.isdir(REFERENCE_PATH) and REFERENCE_PATH not in sys.path:
     # parity tests import the reference implementation (torch CPU)
     sys.path.insert(0, REFERENCE_PATH)
 
+try:  # the reference imports lhotse for utilities we don't need in tests
+    import lhotse  # noqa: F401
+except ImportError:
+    import types
+
+    _lhotse = types.ModuleType("lhotse")
+    _lhotse_utils = types.ModuleType("lhotse.utils")
+
+    def _fix_random_seed(seed):
+        import random
+
+        import numpy as _np
+        import torch as _torch
+
+        random.seed(seed)
+        _np.random.seed(seed)
+        _torch.manual_seed(seed)
+
+    _lhotse_utils.fix_random_seed = _fix_random_seed
+    _lhotse.utils = _lhotse_utils
+    _lhotse.CutSet = None
+    sys.modules["lhotse"] = _lhotse
+    sys.modules["lhotse.utils"] = _lhotse_utils
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,309 @@
+"""ScaledAdam as an optax GradientTransformation.
+
+Faithful port of the reference algorithm
+(/root/reference/zipvoice/utils/optim.py:123-259,463-631) in functional JAX:
+
+- per-parameter Adam second moment (beta2) over the raw grad;
+- the step is scaled by each tensor's parameter RMS (recomputed every
+  ``size_update_period`` steps), learning the *direction*;
+- a separate "scale step" learns the log-scale of every tensor from the
+  accumulated (p * grad).sum() scale-gradients, clamped to +-0.1 and to
+  rms in [param_min_rms, param_max_rms];
+- first-moment momentum (beta1) applied to the combined step, no beta1 bias
+  correction (matching the reference);
+- scalar parameters (numel == 1) use lr * scalar_lr_scale and are clamped
+  to +-scalar_max;
+- optional global clipping to ``clipping_scale x`` the median "normalized"
+  gradient norm over the trailing ``clipping_update_period`` steps (norms
+  weighted by each tensor's param_rms; scalars by scalar_lr_scale).
+
+The reference batches same-shape tensors to cut CUDA kernel launches
+(optim.py:28-121); under XLA the whole update is one fused program, so the
+pytree structure is kept as-is.
+
+All conditionals (warm-up, period boundaries) are ``jnp.where`` on the step
+counter so the update compiles to a single static program.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class _LeafState(NamedTuple):
+    exp_avg_sq: jax.Array
+    delta: jax.Array
+    param_rms: Optional[jax.Array]  # None for scalar leaves
+    scale_grads: Optional[jax.Array]
+    scale_exp_avg_sq: Optional[jax.Array]
+
+
+class ScaledAdamState(NamedTuple):
+    step: jax.Array
+    leaves: dict
+    model_norms: Optional[jax.Array]  # ring buffer (clipping_update_period,)
+    model_norm_threshold: Optional[jax.Array]
+
+
+def _is_scalar(p: jax.Array) -> bool:
+    return p.size == 1
+
+
+def _tensor_rms(p: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.mean(jnp.square(p), keepdims=True).reshape(
+        (1,) * p.ndim
+    )) if p.ndim else jnp.sqrt(jnp.square(p))
+
+
+def _rms_keepdims(p):
+    if p.ndim == 0:
+        return jnp.abs(p)
+    axes = tuple(range(p.ndim))
+    return jnp.sqrt(jnp.mean(jnp.square(p), axis=axes, keepdims=True))
+
+
+def scaled_adam(
+    lr: optax.ScalarOrSchedule = 0.045,
+    clipping_scale: Optional[float] = None,
+    betas=(0.9, 0.98),
+    scalar_lr_scale: float = 0.1,
+    eps: float = 1e-8,
+    param_min_rms: float = 1e-5,
+    param_max_rms: float = 3.0,
+    scalar_max: float = 10.0,
+    size_update_period: int = 4,
+    clipping_update_period: int = 100,
+) -> optax.GradientTransformation:
+    beta1, beta2 = betas
+
+    def init_fn(params):
+        def leaf_init(p):
+            p = jnp.asarray(p)
+            if _is_scalar(p):
+                return _LeafState(
+                    exp_avg_sq=jnp.zeros_like(p, dtype=jnp.float32),
+                    delta=jnp.zeros_like(p, dtype=jnp.float32),
+                    param_rms=None,
+                    scale_grads=None,
+                    scale_exp_avg_sq=None,
+                )
+            rms = _rms_keepdims(p.astype(jnp.float32))
+            return _LeafState(
+                exp_avg_sq=jnp.zeros_like(p, dtype=jnp.float32),
+                delta=jnp.zeros_like(p, dtype=jnp.float32),
+                param_rms=rms,
+                scale_grads=jnp.zeros((size_update_period,) + rms.shape,
+                                      jnp.float32),
+                scale_exp_avg_sq=jnp.zeros_like(rms),
+            )
+
+        leaves = jax.tree.map(leaf_init, params)
+        norms = (
+            jnp.zeros((clipping_update_period,), jnp.float32)
+            if clipping_scale is not None
+            else None
+        )
+        thresh = (
+            jnp.asarray(jnp.inf, jnp.float32) if clipping_scale is not None else None
+        )
+        return ScaledAdamState(
+            step=jnp.zeros((), jnp.int32),
+            leaves=leaves,
+            model_norms=norms,
+            model_norm_threshold=thresh,
+        )
+
+    def _lr_at(step):
+        return lr(step) if callable(lr) else lr
+
+    def update_fn(grads, state, params):
+        assert params is not None, "scaled_adam requires params"
+        step = state.step
+        cur_lr = _lr_at(step)
+
+        is_leaf = lambda x: isinstance(x, _LeafState)  # noqa: E731
+
+        # ---- global clipping factor (reference _get_clipping_scale) ----
+        if clipping_scale is not None:
+            def leaf_sumsq(g, s):
+                g = g.astype(jnp.float32)
+                if s.param_rms is None:
+                    return jnp.sum(jnp.square(g)) * (scalar_lr_scale ** 2)
+                return jnp.sum(jnp.square(g * s.param_rms))
+
+            tot_sumsq = jax.tree.reduce(
+                lambda a, b: a + b,
+                jax.tree.map(leaf_sumsq, grads, state.leaves, is_leaf=is_leaf),
+            )
+            tot_norm = jnp.sqrt(tot_sumsq)
+            norms = state.model_norms.at[step % clipping_update_period].set(
+                tot_norm
+            )
+            # refresh the threshold at period boundaries (and early at
+            # 10/20/40 with a 2x allowance, reference optim.py:568-592)
+            def median_of_last(k):
+                # "median" over the last k recorded norms with the reference's
+                # quartile indexing: sorted[(k//4)*2] (optim.py:575-584)
+                idx = (step - jnp.arange(clipping_update_period)) % (
+                    clipping_update_period
+                )
+                vals = norms[idx]
+                mask = jnp.arange(clipping_update_period) < k
+                big = jnp.where(mask, vals, jnp.inf)
+                srt = jnp.sort(big)
+                return srt[min(k - 1, (k // 4) * 2)]
+
+            threshold = state.model_norm_threshold
+            for est_step, factor in ((10, 2.0), (20, 2.0), (40, 2.0)):
+                if est_step < clipping_update_period:
+                    threshold = jnp.where(
+                        step == est_step,
+                        clipping_scale * median_of_last(est_step) * factor,
+                        threshold,
+                    )
+            threshold = jnp.where(
+                (step % clipping_update_period == 0) & (step > 0),
+                clipping_scale * median_of_last(clipping_update_period),
+                threshold,
+            )
+            clip = jnp.minimum(
+                1.0, threshold / (tot_norm + 1e-20)
+            )
+            clip = jnp.where(jnp.isfinite(clip), clip, 0.0)
+            clip = jnp.where(step == 0, 1.0, clip)
+        else:
+            clip = 1.0
+            norms = state.model_norms
+            threshold = state.model_norm_threshold
+
+        # ---- per-leaf update ----
+        def leaf_update(p, g, s):
+            p32 = p.astype(jnp.float32)
+            g = g.astype(jnp.float32) * clip
+            scalar = s.param_rms is None
+            this_lr = cur_lr * (scalar_lr_scale if scalar else 1.0)
+
+            # basic_step (reference optim.py:123-150)
+            exp_avg_sq = beta2 * s.exp_avg_sq + (1 - beta2) * jnp.square(g)
+            bias_correction2 = 1 - beta2 ** (step + 1)
+            corrected = jnp.where(
+                bias_correction2 < 0.99,
+                exp_avg_sq / bias_correction2,
+                exp_avg_sq,
+            )
+            denom = jnp.sqrt(corrected) + eps
+            delta = -this_lr * g / denom
+
+            if scalar:
+                new_delta = beta1 * s.delta + (1 - beta1) * delta
+                new_p = jnp.clip(p32 + new_delta, -scalar_max, scalar_max)
+                return new_p.astype(p.dtype), _LeafState(
+                    exp_avg_sq=exp_avg_sq, delta=new_delta, param_rms=None,
+                    scale_grads=None, scale_exp_avg_sq=None,
+                )
+
+            # scaling_step (reference optim.py:153-242)
+            axes = tuple(range(p.ndim))
+            period_end = (step % size_update_period) == (size_update_period - 1)
+
+            scale_grads = s.scale_grads.at[step % size_update_period].set(
+                jnp.sum(p32 * g, axis=axes, keepdims=True)
+            )
+            new_param_rms = jnp.where(
+                period_end, _rms_keepdims(p32), s.param_rms
+            )
+            delta = delta * jnp.maximum(new_param_rms, param_min_rms)
+
+            beta2_corr = beta2 ** size_update_period
+            new_scale_exp_avg_sq = jnp.where(
+                period_end,
+                beta2_corr * s.scale_exp_avg_sq
+                + (1 - beta2_corr) * jnp.mean(jnp.square(scale_grads), axis=0),
+                s.scale_exp_avg_sq,
+            )
+            size_step = (step + 1) // size_update_period
+            bias_c2 = 1 - beta2_corr ** jnp.maximum(size_step, 1)
+            size_lr = cur_lr * scalar_lr_scale
+            scale_denom = jnp.sqrt(new_scale_exp_avg_sq) + eps
+            scale_step = (
+                -size_lr * jnp.sqrt(bias_c2)
+                * jnp.sum(scale_grads, axis=0) / scale_denom
+            )
+            scale_step = jnp.where(new_param_rms < param_min_rms, 0.0, scale_step)
+            scale_step = jnp.clip(scale_step, -0.1, 0.1)
+            scale_step = jnp.minimum(
+                scale_step, (param_max_rms - new_param_rms) / new_param_rms
+            )
+            apply_scale = period_end & (step > 0)
+            delta = delta + jnp.where(apply_scale, p32 * scale_step, 0.0)
+
+            # momentum_step (reference optim.py:245-259)
+            new_delta = beta1 * s.delta + (1 - beta1) * delta
+            new_p = p32 + new_delta
+            return new_p.astype(p.dtype), _LeafState(
+                exp_avg_sq=exp_avg_sq,
+                delta=new_delta,
+                param_rms=new_param_rms,
+                scale_grads=scale_grads,
+                scale_exp_avg_sq=new_scale_exp_avg_sq,
+            )
+
+        flat_p, treedef = jax.tree.flatten(params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_s = treedef.flatten_up_to(state.leaves)
+        new_ps, new_ss = [], []
+        for p, g, s in zip(flat_p, flat_g, flat_s):
+            np_, ns_ = leaf_update(p, g, s)
+            new_ps.append(np_)
+            new_ss.append(ns_)
+        new_params = jax.tree.unflatten(treedef, new_ps)
+        new_leaves = jax.tree.unflatten(treedef, new_ss)
+
+        updates = jax.tree.map(lambda n, o: n - o, new_params, params)
+        new_state = ScaledAdamState(
+            step=step + 1,
+            leaves=new_leaves,
+            model_norms=norms,
+            model_norm_threshold=threshold,
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def eden_schedule(
+    base_lr: float = 0.045,
+    lr_batches: float = 7500.0,
+    lr_epochs: float = 10.0,
+    warmup_batches: float = 500.0,
+    warmup_start: float = 0.5,
+    batches_per_epoch: Optional[float] = None,
+):
+    """Eden LR schedule (reference zipvoice/utils/lr_scheduler.py:170-184):
+
+    lr = base * ((b^2+B^2)/B^2)^-0.25 * ((e^2+E^2)/E^2)^-0.25 * warmup(b)
+
+    The epoch term uses ``batches_per_epoch`` to derive e from b when given
+    (the reference calls step_epoch explicitly; ZipVoice re-bases epochs to
+    hours of audio, train_zipvoice.py:615-622 — express that by passing the
+    equivalent batches_per_epoch).  If None, the epoch factor is 1.
+    """
+
+    def schedule(step):
+        b = jnp.asarray(step, jnp.float32)
+        factor = ((b ** 2 + lr_batches ** 2) / lr_batches ** 2) ** -0.25
+        if batches_per_epoch is not None:
+            e = b / batches_per_epoch
+            factor = factor * (
+                ((e ** 2 + lr_epochs ** 2) / lr_epochs ** 2) ** -0.25
+            )
+        warmup = jnp.where(
+            b >= warmup_batches,
+            1.0,
+            warmup_start + (1.0 - warmup_start) * (b / warmup_batches),
+        )
+        return base_lr * factor * warmup
+
+    return schedule
