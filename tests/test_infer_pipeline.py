@@ -1,0 +1,81 @@
+"""End-to-end inference pipeline smoke test: reference-layout model dir with
+a tiny converted torch checkpoint -> wav out (CPU, char-fallback G2P)."""
+
+import json
+import string
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+torch = pytest.importorskip("torch")
+
+TINY = dict(
+    fm_decoder_downsampling_factor=[1, 2, 1],
+    fm_decoder_num_layers=[1, 1, 1],
+    fm_decoder_cnn_module_kernel=[7, 7, 7],
+    fm_decoder_feedforward_dim=96,
+    fm_decoder_num_heads=4,
+    fm_decoder_dim=64,
+    text_encoder_num_layers=1,
+    text_encoder_feedforward_dim=64,
+    text_encoder_cnn_module_kernel=5,
+    text_encoder_num_heads=4,
+    text_encoder_dim=32,
+    time_embed_dim=32,
+    text_embed_dim=32,
+    query_head_dim=8,
+    value_head_dim=12,
+    pos_head_dim=4,
+    pos_dim=48,
+    feat_dim=100,
+)
+
+
+@requires_reference
+def test_pipeline_end_to_end(tmp_path):
+    from zipvoice.models.zipvoice import ZipVoice as RefZipVoice
+
+    # --- build a reference-layout model dir --------------------------------
+    chars = (
+        ["_"] + list(string.ascii_lowercase) + list(" .,!?'")
+        + list(string.ascii_uppercase)
+    )
+    token_file = tmp_path / "tokens.txt"
+    token_file.write_text(
+        "".join(f"{c}\t{i}\n" for i, c in enumerate(chars))
+    )
+    torch.manual_seed(0)
+    ref = RefZipVoice(**TINY, vocab_size=len(chars), pad_id=0)
+    torch.save({"model": ref.state_dict()}, tmp_path / "model.pt")
+    (tmp_path / "model.json").write_text(json.dumps({"model": TINY}))
+
+    # --- prompt wav ---------------------------------------------------------
+    from zipvoice_tpu.frontend.audio import save_wav
+
+    sr = 24000
+    t = np.arange(int(1.2 * sr), dtype=np.float32) / sr
+    prompt = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    wav_path = str(tmp_path / "prompt.wav")
+    save_wav(wav_path, prompt, sr)
+
+    # --- run the pipeline ---------------------------------------------------
+    from zipvoice_tpu.infer.pipeline import InferencePipeline
+    from zipvoice_tpu.utils.checkpoint_io import load_model_dir, load_vocos
+
+    model, params, tokenizer = load_model_dir(str(tmp_path), "zipvoice")
+    vocoder, vp = load_vocos(None)
+    pipe = InferencePipeline(model, params, vocoder, vp, tokenizer)
+
+    wav, metrics = pipe.generate_sentence(
+        prompt_text="hello there.",
+        prompt_wav_path=wav_path,
+        text="this is a test sentence.",
+        num_step=2,
+        guidance_scale=1.0,
+    )
+    assert wav.ndim == 2 and wav.shape[0] == 1
+    assert np.isfinite(wav).all()
+    assert metrics["wav_seconds"] > 0
+    assert metrics["rtf"] > 0

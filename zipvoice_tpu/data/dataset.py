@@ -1,0 +1,127 @@
+"""Speech-synthesis dataset: cuts -> padded numpy training batches.
+
+Replaces the reference's SpeechSynthesisDataset + DataLoader stack
+(reference zipvoice/dataset/dataset.py:11-106, datamodule.py) with a
+host-side iterator producing static-shape arrays:
+
+- features come precomputed (.npy via bin/compute_fbank.py) or on-the-fly
+  (VocosFbank);
+- token ids from the cut's cached ``tokens`` (prepare_tokens) or by
+  tokenizing text on the fly;
+- frame and token lengths are padded up to bucketed sizes so the jitted
+  train step compiles a handful of shapes;
+- a background thread prefetches batches (the reference uses DataLoader
+  workers).
+"""
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from zipvoice_tpu.data.manifest import Cut
+from zipvoice_tpu.frontend.batch import bucket_length
+from zipvoice_tpu.frontend.feature import VocosFbank
+
+FRAME_BUCKETS = tuple(128 * i for i in range(1, 32))
+TOKEN_BUCKETS = tuple(32 * i for i in range(1, 32))
+BATCH_BUCKETS = tuple(2 ** i for i in range(0, 10))
+
+
+class SpeechSynthesisDataset:
+    def __init__(
+        self,
+        tokenizer=None,
+        on_the_fly_feats: bool = False,
+        feat_scale: float = 0.1,
+        sampling_rate: int = 24000,
+        num_channels: int = 1,
+        return_text: bool = False,
+        pad_to_buckets: bool = True,
+    ):
+        self.tokenizer = tokenizer
+        self.on_the_fly_feats = on_the_fly_feats
+        self.feat_scale = feat_scale
+        self.sampling_rate = sampling_rate
+        self.extractor = VocosFbank(num_channels=num_channels)
+        self.return_text = return_text
+        self.pad_to_buckets = pad_to_buckets
+
+    def _features_of(self, cut: Cut) -> np.ndarray:
+        if cut.features is not None and not self.on_the_fly_feats:
+            return cut.load_features()
+        wav = cut.load_audio(self.sampling_rate)
+        return self.extractor.extract(wav, self.sampling_rate)
+
+    def _tokens_of(self, cut: Cut) -> List[int]:
+        if cut.tokens is not None:
+            return self.tokenizer.tokens_to_token_ids([cut.tokens])[0]
+        return self.tokenizer.texts_to_token_ids([cut.text])[0]
+
+    def __call__(self, cuts: Sequence[Cut]) -> Dict[str, np.ndarray]:
+        feats = [self._features_of(c) for c in cuts]
+        token_ids = [self._tokens_of(c) for c in cuts]
+
+        B_real = len(cuts)
+        T_real = max(f.shape[0] for f in feats)
+        S_real = max(len(t) for t in token_ids) + 1
+        if self.pad_to_buckets:
+            B = bucket_length(B_real, BATCH_BUCKETS)
+            T = bucket_length(T_real, FRAME_BUCKETS)
+            S = bucket_length(S_real, TOKEN_BUCKETS)
+        else:
+            B, T, S = B_real, T_real, S_real
+
+        F = feats[0].shape[1]
+        pad_id = self.tokenizer.pad_id if self.tokenizer else 0
+        features = np.zeros((B, T, F), np.float32)
+        features_lens = np.zeros((B,), np.int32)
+        tokens = np.full((B, S), pad_id, np.int32)
+        tokens_lens = np.zeros((B,), np.int32)
+        for i, (f, tok) in enumerate(zip(feats, token_ids)):
+            features[i, : f.shape[0]] = f * self.feat_scale
+            features_lens[i] = f.shape[0]
+            tokens[i, : len(tok)] = tok
+            tokens_lens[i] = len(tok)
+        # padded rows replicate row 0 so the model sees no degenerate zeros
+        for i in range(B_real, B):
+            features[i] = features[0]
+            features_lens[i] = features_lens[0]
+            tokens[i] = tokens[0]
+            tokens_lens[i] = tokens_lens[0]
+
+        batch = {
+            "features": features,
+            "features_lens": features_lens,
+            "tokens": tokens,
+            "tokens_lens": tokens_lens,
+            "valid": (np.arange(B) < B_real),
+        }
+        if self.return_text:
+            batch["text"] = [c.text for c in cuts]
+            batch["ids"] = [c.id for c in cuts]
+        return batch
+
+
+def prefetch_batches(
+    sampler, dataset, num_prefetch: int = 4
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Background-thread prefetching iterator (DataLoader-worker analogue)."""
+    q: "queue.Queue" = queue.Queue(maxsize=num_prefetch)
+    _DONE = object()
+
+    def worker():
+        try:
+            for cuts in sampler:
+                q.put(dataset(cuts))
+        finally:
+            q.put(_DONE)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _DONE:
+            break
+        yield item

@@ -26,11 +26,14 @@ def _to_int16(audio: np.ndarray) -> np.ndarray:
 
 
 def _rms_int(x: np.ndarray) -> float:
-    """audioop.rms over interleaved samples (integer sqrt truncation skipped;
-    it is < 1 LSB and does not move -50 dBFS decisions)."""
+    """audioop.rms equivalent on int16 amplitude scale.  Accepts float
+    waveforms in [-1, 1] (integer sqrt truncation skipped; it is < 1 LSB and
+    does not move -50 dBFS decisions)."""
     if x.size == 0:
         return 0.0
-    return float(np.sqrt(np.mean(np.square(x.astype(np.float64)))))
+    return float(
+        np.sqrt(np.mean(np.square(x.astype(np.float64) * 32768.0)))
+    )
 
 
 def _db_to_amp(db: float) -> float:

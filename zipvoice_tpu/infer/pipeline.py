@@ -1,0 +1,254 @@
+"""End-to-end zero-shot TTS inference pipeline.
+
+Mirrors the reference's generate_sentence flow
+(reference zipvoice/bin/infer_zipvoice.py:437-641):
+prompt silence-strip -> rms norm -> fbank x0.1 -> punctuation chunking
+(~25 s windows) -> duration-bounded batch packing -> flow-matching sampling
+-> vocoder -> cross-fade merge -> edge silence trim.
+
+TPU-first differences:
+- every device computation is a cached jitted program with static shapes;
+  token/frame lengths are bucketed so a handful of compilations serve any
+  input length;
+- the CFG Euler loop is a lax.scan inside one program (models/solver.py);
+- vocoding runs batched on padded features and is trimmed on host (the
+  reference loops per utterance, infer_zipvoice.py:589-602).
+"""
+
+import datetime as dt
+import logging
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zipvoice_tpu.frontend.audio import (
+    cross_fade_concat,
+    load_wav,
+    remove_silence,
+    rms_norm,
+)
+from zipvoice_tpu.frontend.batch import bucket_length, pad_tokens
+from zipvoice_tpu.frontend.feature import VocosFbank
+from zipvoice_tpu.frontend.text_chunking import (
+    add_punctuation,
+    batchify_tokens,
+    chunk_tokens_punctuation,
+)
+from zipvoice_tpu.models.zipvoice import strip_prompt
+
+TOKEN_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512, 768)
+FRAME_BUCKETS = (128, 256, 384, 512, 768, 1024, 1280, 1536, 2048, 2560, 3072)
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+class InferencePipeline:
+    def __init__(
+        self,
+        model,
+        params,
+        vocoder,
+        vocoder_params,
+        tokenizer,
+        sampling_rate: int = 24000,
+        feat_scale: float = 0.1,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.params = params
+        self.vocoder = vocoder
+        self.vocoder_params = vocoder_params
+        self.tokenizer = tokenizer
+        self.sampling_rate = sampling_rate
+        self.feat_scale = feat_scale
+        self.feature_extractor = VocosFbank()
+        self.rng = np.random.RandomState(seed)
+        self._sample_cache = {}
+        self._vocode_cache = {}
+
+    # --- compiled-program factories ---------------------------------------
+
+    def _sample_fn(self, num_step: int, guidance_scale: float, t_shift: float):
+        key = (num_step, guidance_scale, t_shift)
+        if key not in self._sample_cache:
+
+            @jax.jit
+            def fn(params, tok, tok_lens, ptl, pf, pfl, fl, noise):
+                x1, padding_mask = self.model.apply(
+                    params, tokens=tok, tokens_lens=tok_lens,
+                    prompt_tokens_lens=ptl, prompt_features=pf,
+                    prompt_features_lens=pfl, features_lens=fl, noise=noise,
+                    num_step=num_step, guidance_scale=guidance_scale,
+                    t_shift=t_shift, method="sample",
+                )
+                return strip_prompt(x1, padding_mask, pfl)
+
+            self._sample_cache[key] = fn
+        return self._sample_cache[key]
+
+    def _vocode_fn(self):
+        if "v" not in self._vocode_cache:
+
+            @jax.jit
+            def fn(vp, mel):
+                return jnp.clip(self.vocoder.apply(vp, mel), -1.0, 1.0)
+
+            self._vocode_cache["v"] = fn
+        return self._vocode_cache["v"]
+
+    # --- main entry ---------------------------------------------------------
+
+    def generate_sentence(
+        self,
+        prompt_text: str,
+        prompt_wav_path: str,
+        text: str,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        target_rms: float = 0.1,
+        max_duration: float = 100.0,
+        remove_long_sil: bool = False,
+    ):
+        """Returns (wav (C, T) float32, metrics dict)."""
+        sr = self.sampling_rate
+        prompt_wav = load_wav(prompt_wav_path, sr)
+        prompt_wav = remove_silence(prompt_wav, sr, only_edge=False, trail_sil=200)
+        prompt_wav, prompt_rms = rms_norm(prompt_wav, target_rms)
+        prompt_duration = prompt_wav.shape[-1] / sr
+        if prompt_duration > 10:
+            logging.warning(
+                f"prompt is long ({prompt_duration:.1f}s); 1-3 s recommended"
+            )
+
+        prompt_features = (
+            self.feature_extractor.extract(prompt_wav, sr) * self.feat_scale
+        )
+
+        text = add_punctuation(text)
+        prompt_text = add_punctuation(prompt_text)
+        tokens_str = self.tokenizer.texts_to_tokens([text])[0]
+        prompt_tokens_str = self.tokenizer.texts_to_tokens([prompt_text])[0]
+
+        token_duration = prompt_duration / (len(prompt_tokens_str) * speed)
+        max_tokens = max(4, int((25 - prompt_duration) / token_duration))
+        chunked_tokens_str = chunk_tokens_punctuation(
+            tokens_str, max_tokens=max_tokens
+        )
+        chunked_tokens = self.tokenizer.tokens_to_token_ids(chunked_tokens_str)
+        prompt_tokens = self.tokenizer.tokens_to_token_ids(
+            [prompt_tokens_str]
+        )[0]
+
+        tokens_batches, chunked_index = batchify_tokens(
+            chunked_tokens, max_duration, prompt_duration, token_duration
+        )
+
+        start_t = dt.datetime.now()
+        chunked_feats: List[np.ndarray] = []
+        for batch_tokens in tokens_batches:
+            feats, feats_lens = self._sample_batch(
+                batch_tokens, prompt_tokens, prompt_features,
+                num_step=num_step, guidance_scale=guidance_scale,
+                speed=speed, t_shift=t_shift,
+            )
+            for i in range(len(batch_tokens)):
+                chunked_feats.append(feats[i, : feats_lens[i]])
+
+        start_vocoder_t = dt.datetime.now()
+        chunked_wavs = self._vocode_chunks(chunked_feats)
+        t = (dt.datetime.now() - start_t).total_seconds()
+
+        if prompt_rms < target_rms:
+            chunked_wavs = [w * prompt_rms / target_rms for w in chunked_wavs]
+
+        order = sorted(range(len(chunked_wavs)), key=lambda i: chunked_index[i])
+        seq_wavs = [chunked_wavs[i][None] for i in order]
+        final_wav = cross_fade_concat(seq_wavs, fade_duration=0.1, sample_rate=sr)
+        final_wav = remove_silence(
+            final_wav, sr, only_edge=(not remove_long_sil), trail_sil=0
+        )
+
+        t_no_vocoder = (start_vocoder_t - start_t).total_seconds()
+        t_vocoder = t - t_no_vocoder
+        wav_seconds = final_wav.shape[-1] / sr
+        metrics = {
+            "t": t,
+            "t_no_vocoder": t_no_vocoder,
+            "t_vocoder": t_vocoder,
+            "wav_seconds": wav_seconds,
+            "rtf": t / max(wav_seconds, 1e-9),
+            "rtf_no_vocoder": t_no_vocoder / max(wav_seconds, 1e-9),
+            "rtf_vocoder": t_vocoder / max(wav_seconds, 1e-9),
+        }
+        return final_wav, metrics
+
+    # --- internals ----------------------------------------------------------
+
+    def _sample_batch(
+        self, batch_tokens, prompt_tokens, prompt_features,
+        num_step, guidance_scale, speed, t_shift,
+    ):
+        B_real = len(batch_tokens)
+        B = bucket_length(B_real, BATCH_BUCKETS)
+        cat_tokens = [prompt_tokens + t for t in batch_tokens]
+        # pad batch dim by repeating the first row (masked out later)
+        cat_tokens += [cat_tokens[0]] * (B - B_real)
+        S = bucket_length(
+            max(len(t) for t in cat_tokens) + 1, TOKEN_BUCKETS
+        )
+        tok, tok_lens = pad_tokens(
+            cat_tokens, pad_id=self.model.pad_id, pad_to=S
+        )
+        ptl = np.full((B,), len(prompt_tokens), np.int32)
+        pfl_scalar = prompt_features.shape[0]
+        pfl = np.full((B,), pfl_scalar, np.int32)
+        text_lens = np.array(
+            [len(t) for t in batch_tokens]
+            + [len(batch_tokens[0])] * (B - B_real),
+            np.int32,
+        )
+        # duration prediction (reference zipvoice.py:323-325), float32 math
+        fl = pfl + np.ceil(
+            pfl.astype(np.float32) / ptl.astype(np.float32)
+            * text_lens.astype(np.float32) / speed
+        ).astype(np.int32)
+        T = bucket_length(int(fl.max()), FRAME_BUCKETS)
+        pf = np.zeros((B, T, prompt_features.shape[1]), np.float32)
+        pf[:, :pfl_scalar] = prompt_features[None]
+        noise = self.rng.randn(B, T, prompt_features.shape[1]).astype(
+            np.float32
+        )
+
+        fn = self._sample_fn(num_step, guidance_scale, t_shift)
+        x1_wo, wo_lens = fn(
+            self.params, jnp.asarray(tok), jnp.asarray(tok_lens),
+            jnp.asarray(ptl), jnp.asarray(pf), jnp.asarray(pfl),
+            jnp.asarray(fl), jnp.asarray(noise),
+        )
+        feats = np.asarray(x1_wo)[:B_real] / self.feat_scale
+        lens = np.asarray(wo_lens)[:B_real]
+        return feats, lens
+
+    def _vocode_chunks(self, feats: List[np.ndarray]) -> List[np.ndarray]:
+        """Batch-vocode variable-length mel chunks with frame bucketing."""
+        out: List[Optional[np.ndarray]] = [None] * len(feats)
+        fn = self._vocode_fn()
+        # group by bucketed length
+        groups = {}
+        for i, f in enumerate(feats):
+            T = bucket_length(f.shape[0], FRAME_BUCKETS)
+            groups.setdefault(T, []).append(i)
+        for T, idxs in groups.items():
+            B = bucket_length(len(idxs), BATCH_BUCKETS)
+            mel = np.zeros((B, T, feats[0].shape[1]), np.float32)
+            for j, i in enumerate(idxs):
+                mel[j, : feats[i].shape[0]] = feats[i]
+            wav = np.asarray(fn(self.vocoder_params, jnp.asarray(mel)))
+            for j, i in enumerate(idxs):
+                n = feats[i].shape[0] * 256
+                out[i] = wav[j, :n]
+        return out

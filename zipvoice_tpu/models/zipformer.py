@@ -28,7 +28,7 @@ the reference run on CPU):
 """
 
 import math
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -570,10 +570,17 @@ class TTSZipformer(nn.Module):
 
     Call: (B, T, in_dim) [+ t (B,), padding_mask (B,T), guidance_scale (B,)]
     -> (B, T, out_dim).
+
+    Two-stream mode (reference zipformer_two_stream.py:58-264, used by
+    ZipVoice-Dialog-Stereo): pass 2-tuples for in_dim/out_dim; the input's
+    feature dim selects which projection pair routes through the shared
+    trunk.  Note with @nn.compact only the projections actually exercised
+    get initialized — when self-initializing (not converting a reference
+    checkpoint), init once per input width and merge the param trees.
     """
 
-    in_dim: int
-    out_dim: int
+    in_dim: Union[int, Tuple[int, int]]
+    out_dim: Union[int, Tuple[int, int]]
     downsampling_factor: Sequence[int] = (2, 4)
     num_encoder_layers: Sequence[int] = (4,)
     cnn_module_kernel: Sequence[int] = (31,)
@@ -614,9 +621,18 @@ class TTSZipformer(nn.Module):
         num_layers = self._per_stack(self.num_encoder_layers)
         kernels = self._per_stack(self.cnn_module_kernel)
 
-        x = dense(
-            self.encoder_dim, self.in_dim, dtype=self.dtype, name="in_proj"
-        )(x)
+        two_stream = isinstance(self.in_dim, (tuple, list))
+        if two_stream:
+            assert x.shape[-1] in tuple(self.in_dim), (x.shape, self.in_dim)
+            index = 0 if x.shape[-1] == self.in_dim[0] else 1
+            x = dense(
+                self.encoder_dim, self.in_dim[index], dtype=self.dtype,
+                name=f"in_proj_{index}",
+            )(x)
+        else:
+            x = dense(
+                self.encoder_dim, self.in_dim, dtype=self.dtype, name="in_proj"
+            )(x)
 
         if t is not None:
             assert self.use_time_embed
@@ -665,7 +681,14 @@ class TTSZipformer(nn.Module):
                 train=train, dropout_rate=dropout_rate,
             )
 
-        x = dense(
-            self.out_dim, self.encoder_dim, dtype=self.dtype, name="out_proj"
-        )(x)
+        if two_stream:
+            x = dense(
+                self.out_dim[index], self.encoder_dim, dtype=self.dtype,
+                name=f"out_proj_{index}",
+            )(x)
+        else:
+            x = dense(
+                self.out_dim, self.encoder_dim, dtype=self.dtype,
+                name="out_proj",
+            )(x)
         return x

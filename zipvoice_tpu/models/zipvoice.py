@@ -57,10 +57,16 @@ class ZipVoice(nn.Module):
     use_guidance_scale_embed: bool = False
     guidance_scale_embed_dim: int = 192
 
+    def _fm_decoder_dims(self):
+        """(in_dim, out_dim) of the flow-matching decoder; overridden by the
+        stereo model (two-stream tuples)."""
+        return self.feat_dim * 3, self.feat_dim
+
     def setup(self):
+        fm_in, fm_out = self._fm_decoder_dims()
         self.fm_decoder = TTSZipformer(
-            in_dim=self.feat_dim * 3,
-            out_dim=self.feat_dim,
+            in_dim=fm_in,
+            out_dim=fm_out,
             downsampling_factor=tuple(self.fm_decoder_downsampling_factor),
             num_encoder_layers=tuple(self.fm_decoder_num_layers),
             cnn_module_kernel=tuple(self.fm_decoder_cnn_module_kernel),
@@ -248,6 +254,17 @@ class ZipVoice(nn.Module):
                 padding_mask=pm, guidance_scale=gs,
             )
 
+        if self.is_initializing():
+            # initialize fm_decoder params with one call OUTSIDE the scan
+            # (params created inside lax.scan would leak tracers)
+            B = noise.shape[0]
+            gs = jnp.zeros((B,)) if distill else None
+            _ = velocity_fn(
+                jnp.zeros((B,)), noise, text_condition, speech_condition,
+                padding_mask, gs,
+            )
+            return noise, padding_mask
+
         x1 = euler_sample(
             velocity_fn,
             x=noise,
@@ -294,6 +311,15 @@ class ZipVoice(nn.Module):
                 t=t, xt=x, text_condition=tc, speech_condition=sc,
                 padding_mask=pm, guidance_scale=gs,
             )
+
+        if self.is_initializing():
+            B = noise.shape[0]
+            gs = jnp.zeros((B,)) if distill else None
+            _ = velocity_fn(
+                jnp.zeros((B,)), noise, text_condition, speech_condition,
+                padding_mask, gs,
+            )
+            return noise, padding_mask
 
         x_t_end = euler_sample(
             velocity_fn,

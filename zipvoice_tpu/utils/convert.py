@@ -47,6 +47,8 @@ def translate_zipformer_key(key: str):
     k = re.sub(r"encoders\.(\d+)\.", r"encoders_\1.", k)
     k = re.sub(r"layers\.(\d+)\.", r"layers_\1.", k)
     k = k.replace("time_emb.1.", "time_emb_proj.")
+    # two-stream projection ModuleLists (zipformer_two_stream.py:161-167)
+    k = re.sub(r"\b(in_proj|out_proj)\.([01])\.", r"\1_\2.", k)
 
     m = re.match(r"(encoders_\d+)\.(.*)", k)
     if m:
