@@ -1,0 +1,99 @@
+"""Eval metric math: WER alignment, cpWER permutation, cosine sim."""
+
+import numpy as np
+
+import conftest  # noqa: F401
+
+from zipvoice_tpu.eval.metrics import (
+    corpus_wer,
+    cosine_similarity,
+    cpwer,
+    edit_distance,
+    normalize_text,
+    split_speakers,
+    wer,
+)
+
+
+def test_edit_distance():
+    d = edit_distance("abc", "abc")
+    assert d["errors"] == 0
+    d = edit_distance(list("kitten"), list("sitting"))
+    assert d["errors"] == 3
+    d = edit_distance(["a", "b"], ["a", "x", "b"])
+    assert d["errors"] == 1 and d["ins"] == 1
+
+
+def test_wer():
+    d = wer("Hello, world!", "hello world")
+    assert d["wer"] == 0.0
+    d = wer("the cat sat", "the cat sit down")
+    assert d["errors"] == 2  # 1 sub + 1 ins
+    assert abs(d["wer"] - 2 / 3) < 1e-9
+    assert corpus_wer([("a b", "a b"), ("a b", "a x")]) == 0.25
+
+
+def test_normalize_zh():
+    assert normalize_text("你好 世界", "zh") == ["你", "好", "世", "界"]
+
+
+def test_split_speakers_and_cpwer():
+    text = "[S1] hello there [S2] hi [S1] bye"
+    spk = split_speakers(text)
+    assert spk["[S1]"] == "hello there bye"
+    assert spk["[S2]"] == "hi"
+    # swapped speakers should still give 0 under permutation
+    ref = "[S1] hello there [S2] good morning"
+    hyp = "[S1] good morning [S2] hello there"
+    assert cpwer(ref, hyp) == 0.0
+    assert cpwer(ref, ref) == 0.0
+
+
+def test_cosine_similarity():
+    a = np.array([1.0, 0.0])
+    assert abs(cosine_similarity(a, a) - 1.0) < 1e-9
+    assert abs(cosine_similarity(a, np.array([0.0, 1.0]))) < 1e-9
+
+
+def test_structural_loaders():
+    from zipvoice_tpu.utils.structural_loaders import (
+        copy_proj_three_channel,
+        extend_vocab,
+    )
+
+    rng = np.random.RandomState(0)
+    F, D = 4, 6
+    params = {
+        "embed": {"embedding": rng.randn(10, 8).astype(np.float32)},
+        "fm_decoder": {
+            "in_proj": {
+                "kernel": rng.randn(3 * F, D).astype(np.float32),
+                "bias": rng.randn(D).astype(np.float32),
+            },
+            "out_proj": {
+                "kernel": rng.randn(D, F).astype(np.float32),
+                "bias": rng.randn(F).astype(np.float32),
+            },
+        },
+    }
+    out = extend_vocab(params, 14, feat_dim=F)
+    assert out["embed"]["embedding"].shape == (14, 8)
+    np.testing.assert_array_equal(
+        out["embed"]["embedding"][:10], params["embed"]["embedding"]
+    )
+    assert out["spk_embed"]["embedding"].shape == (2, F)
+
+    out2 = copy_proj_three_channel(out, feat_dim=F)
+    fm = out2["fm_decoder"]
+    assert fm["in_proj_0"]["kernel"].shape == (5 * F, D)
+    assert fm["out_proj_0"]["kernel"].shape == (D, 2 * F)
+    np.testing.assert_array_equal(
+        fm["in_proj_1"]["kernel"], params["fm_decoder"]["in_proj"]["kernel"]
+    )
+    # split halves reconstruct: first two F-blocks sum to original xt block
+    k0 = fm["in_proj_0"]["kernel"]
+    np.testing.assert_allclose(
+        k0[:F] + k0[F : 2 * F],
+        params["fm_decoder"]["in_proj"]["kernel"][:F],
+        rtol=1e-6,
+    )

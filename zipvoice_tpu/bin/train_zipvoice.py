@@ -1,0 +1,384 @@
+"""Train ZipVoice (flow-matching TTS) on TPU.
+
+TPU-native counterpart of the reference trainer
+(reference zipvoice/bin/train_zipvoice.py, 1130 LoC): data-parallel over a
+jax Mesh (XLA gradient allreduce replaces DDP/NCCL), bf16 compute / fp32
+params with NO GradScaler (intentional divergence from fp16 AMP,
+SURVEY.md §7), ScaledAdam + Eden, running fp64 model average, orbax
+checkpoints with rotation, resumable sampler state.
+
+Example:
+  python -m zipvoice_tpu.bin.train_zipvoice \
+    --manifest-dir data/manifests --token-file data/tokens.txt \
+    --exp-dir exp/zipvoice --num-epochs 11 --max-duration 250
+"""
+
+import argparse
+import json
+import logging
+import os
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    # model / tokenizer
+    p.add_argument("--model-config", type=str, default=None,
+                   help="model.json; defaults to the base ZipVoice config")
+    p.add_argument("--token-file", type=str, required=True)
+    p.add_argument("--tokenizer", type=str, default="emilia",
+                   choices=["emilia", "espeak", "dialog", "libritts", "simple"])
+    p.add_argument("--lang", type=str, default="en-us")
+    p.add_argument("--model-name", type=str, default="zipvoice",
+                   choices=["zipvoice", "zipvoice_distill", "zipvoice_dialog",
+                            "zipvoice_dialog_stereo"])
+    # data
+    p.add_argument("--train-manifest", type=str, action="append",
+                   required=True, help="may repeat for muxed corpora")
+    p.add_argument("--train-weight", type=float, action="append", default=None)
+    p.add_argument("--dev-manifest", type=str, default=None)
+    p.add_argument("--max-duration", type=float, default=250.0)
+    p.add_argument("--num-buckets", type=int, default=30)
+    p.add_argument("--on-the-fly-feats", action="store_true")
+    p.add_argument("--min-len", type=float, default=1.0)
+    p.add_argument("--max-len", type=float, default=30.0)
+    # optimization (reference train_zipvoice.py defaults)
+    p.add_argument("--base-lr", type=float, default=0.02)
+    p.add_argument("--lr-batches", type=float, default=7500)
+    p.add_argument("--lr-epochs", type=float, default=10)
+    p.add_argument("--lr-hours", type=float, default=0,
+                   help="if >0, re-base the epoch axis to hours of audio")
+    p.add_argument("--warmup-batches", type=float, default=500)
+    p.add_argument("--clipping-scale", type=float, default=2.0)
+    p.add_argument("--num-epochs", type=int, default=11)
+    p.add_argument("--condition-drop-ratio", type=float, default=0.2)
+    p.add_argument("--dropout-rate", type=float, default=0.1)
+    p.add_argument("--feat-scale", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=42)
+    # infra
+    p.add_argument("--exp-dir", type=str, required=True)
+    p.add_argument("--start-epoch", type=int, default=1)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="torch .pt / orbax dir to initialize from")
+    p.add_argument("--save-every-n", type=int, default=5000)
+    p.add_argument("--keep-last-k", type=int, default=30)
+    p.add_argument("--average-period", type=int, default=200)
+    p.add_argument("--valid-interval", type=int, default=2000)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--num-data-parallel", type=int, default=None)
+    p.add_argument("--platform", type=str, default=None, choices=[None, "cpu"])
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--inf-check", action="store_true",
+                   help="assert finite loss/grads every step")
+    return p
+
+
+BASE_CONFIG = dict(
+    fm_decoder_downsampling_factor=[1, 2, 4, 2, 1],
+    fm_decoder_num_layers=[2, 2, 4, 4, 4],
+    fm_decoder_cnn_module_kernel=[31, 15, 7, 15, 31],
+    fm_decoder_feedforward_dim=1536,
+    fm_decoder_num_heads=4,
+    fm_decoder_dim=512,
+    text_encoder_num_layers=4,
+    text_encoder_feedforward_dim=512,
+    text_encoder_cnn_module_kernel=9,
+    text_encoder_num_heads=4,
+    text_encoder_dim=192,
+    time_embed_dim=192,
+    text_embed_dim=192,
+    query_head_dim=32,
+    value_head_dim=12,
+    pos_head_dim=4,
+    pos_dim=48,
+    feat_dim=100,
+)
+
+
+def build_model(args, tokenizer, dtype):
+    from zipvoice_tpu.models.dialog import ZipVoiceDialog, ZipVoiceDialogStereo
+    from zipvoice_tpu.models.zipvoice import ZipVoice, ZipVoiceDistill
+
+    if args.model_config:
+        with open(args.model_config) as f:
+            cfg = json.load(f)
+            cfg = cfg.get("model", cfg)
+    else:
+        cfg = dict(BASE_CONFIG)
+    cls = {
+        "zipvoice": ZipVoice,
+        "zipvoice_distill": ZipVoiceDistill,
+        "zipvoice_dialog": ZipVoiceDialog,
+        "zipvoice_dialog_stereo": ZipVoiceDialogStereo,
+    }[args.model_name]
+    extra = {}
+    if args.model_name.startswith("zipvoice_dialog"):
+        extra = dict(spk_a_id=tokenizer.spk_a_id, spk_b_id=tokenizer.spk_b_id)
+    model = cls(
+        **cfg, vocab_size=tokenizer.vocab_size, pad_id=tokenizer.pad_id,
+        dtype=dtype, **extra,
+    )
+    return model, cfg
+
+
+def main():
+    args = get_parser().parse_args()
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+    )
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from zipvoice_tpu.data.dataset import (
+        SpeechSynthesisDataset,
+        prefetch_batches,
+    )
+    from zipvoice_tpu.data.manifest import mux, read_manifest
+    from zipvoice_tpu.data.sampler import DynamicBucketingSampler
+    from zipvoice_tpu.frontend.tokenizer import get_tokenizer
+    from zipvoice_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+    from zipvoice_tpu.train.averaging import (
+        init_model_avg,
+        update_averaged_model,
+    )
+    from zipvoice_tpu.train.optim import eden_schedule, scaled_adam
+    from zipvoice_tpu.train.train_step import (
+        TrainState,
+        init_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from zipvoice_tpu.utils import checkpoint_io
+
+    exp_dir = Path(args.exp_dir)
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    # self-describing exp dir (reference train_zipvoice.py:887-889)
+    shutil.copyfile(args.token_file, exp_dir / "tokens.txt")
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    tokenizer = get_tokenizer(args.tokenizer, args.token_file, args.lang)
+    model, cfg = build_model(args, tokenizer, dtype)
+    (exp_dir / "model.json").write_text(json.dumps({"model": cfg}, indent=2))
+
+    # ---- data -------------------------------------------------------------
+    manifests = [read_manifest(m) for m in args.train_manifest]
+    weights = args.train_weight or [len(m) for m in manifests]
+    cuts = (
+        mux(manifests, weights, seed=args.seed)
+        if len(manifests) > 1
+        else manifests[0]
+    )
+    cuts = [
+        c for c in cuts if args.min_len <= c.duration <= args.max_len
+    ]
+    logging.info(f"training cuts: {len(cuts)}")
+    sampler = DynamicBucketingSampler(
+        cuts, max_duration=args.max_duration, num_buckets=args.num_buckets,
+        shuffle=True, seed=args.seed, drop_last=True,
+    )
+    num_channels = 2 if args.model_name == "zipvoice_dialog_stereo" else 1
+    dataset = SpeechSynthesisDataset(
+        tokenizer=tokenizer,
+        on_the_fly_feats=args.on_the_fly_feats,
+        feat_scale=args.feat_scale,
+        num_channels=num_channels,
+    )
+    dev_sampler = None
+    if args.dev_manifest:
+        dev_cuts = read_manifest(args.dev_manifest)
+        dev_sampler = DynamicBucketingSampler(
+            dev_cuts, max_duration=args.max_duration, shuffle=False,
+            seed=args.seed,
+        )
+
+    # ---- model / optimizer ------------------------------------------------
+    rng = jax.random.PRNGKey(args.seed)
+    sample_batch = None
+    for cuts_batch in sampler:
+        sample_batch = dataset(cuts_batch[: 2])
+        break
+    assert sample_batch is not None, "empty dataset"
+    B, T, F = sample_batch["features"].shape
+
+    if args.checkpoint and args.checkpoint.endswith(".pt"):
+        sd = checkpoint_io.load_torch_state_dict(args.checkpoint)
+        from zipvoice_tpu.utils.convert import convert_zipvoice
+
+        params = convert_zipvoice(sd)
+        logging.info(f"initialized from torch checkpoint {args.checkpoint}")
+    else:
+        params = model.init(
+            {"params": rng},
+            tokens=jnp.asarray(sample_batch["tokens"]),
+            tokens_lens=jnp.asarray(sample_batch["tokens_lens"]),
+            features=jnp.asarray(sample_batch["features"]),
+            features_lens=jnp.asarray(sample_batch["features_lens"]),
+            noise=jnp.zeros((B, T, F)),
+            t=jnp.full((B, 1, 1), 0.5),
+            rng=jax.random.PRNGKey(0),
+            train=False,
+        )["params"]
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    logging.info(f"model parameters: {n_params / 1e6:.1f}M")
+
+    hours_per_epoch = sum(c.duration for c in cuts) / 3600
+    batches_per_epoch = max(1, len(sampler))
+    if args.lr_hours > 0:
+        # epoch axis re-based to hours of audio (reference :615-622)
+        batches_per_epoch = args.lr_hours / (
+            hours_per_epoch / batches_per_epoch
+        )
+    schedule = eden_schedule(
+        base_lr=args.base_lr, lr_batches=args.lr_batches,
+        lr_epochs=args.lr_epochs, warmup_batches=args.warmup_batches,
+        batches_per_epoch=batches_per_epoch,
+    )
+    tx = scaled_adam(lr=schedule, clipping_scale=args.clipping_scale)
+
+    mesh = make_mesh(n_data=args.num_data_parallel)
+    logging.info(f"mesh: {mesh}")
+    train_step = make_train_step(
+        model, tx, condition_drop_ratio=args.condition_drop_ratio,
+        dropout_rate=args.dropout_rate, mesh=mesh,
+    )
+    eval_step = make_eval_step(model)
+
+    state = init_train_state(params, tx)
+    model_avg = init_model_avg(params)
+    start_epoch = args.start_epoch
+
+    resume_path = exp_dir / f"epoch-{args.start_epoch - 1}"
+    if args.start_epoch > 1 and resume_path.exists():
+        state, extra = checkpoint_io.load_checkpoint(str(resume_path), state)
+        if extra and "sampler" in extra:
+            sampler.load_state_dict(extra["sampler"])
+        avg_path = str(resume_path) + "-avg"
+        if os.path.exists(avg_path):
+            model_avg, _ = checkpoint_io.load_checkpoint(avg_path, model_avg)
+        logging.info(f"resumed from {resume_path}")
+
+    state = TrainState(
+        params=replicate_tree(state.params, mesh),
+        opt_state=replicate_tree(state.opt_state, mesh),
+        step=replicate_tree(state.step, mesh),
+    )
+
+    tb = None
+    if args.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(str(exp_dir / "tensorboard"))
+        except ImportError:
+            logging.warning("tensorboard unavailable")
+
+    # ---- loop -------------------------------------------------------------
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+    tot_loss, tot_frames = 0.0, 0
+    t_start = time.time()
+    saved_iters = []
+
+    for epoch in range(start_epoch, args.num_epochs + 1):
+        sampler.set_epoch(epoch)
+        for batch in prefetch_batches(sampler, dataset):
+            sharded = shard_batch(
+                {k: v for k, v in batch.items()
+                 if k in ("tokens", "tokens_lens", "features", "features_lens")},
+                mesh,
+            )
+            state, metrics = train_step(state, sharded, step_rng)
+            step = int(state.step)
+            frames = int(batch["features_lens"].sum())
+            loss = float(metrics["loss"])
+            if args.inf_check and not np.isfinite(loss):
+                raise RuntimeError(f"non-finite loss at step {step}: {loss}")
+            tot_loss += loss * frames
+            tot_frames += frames
+
+            if step % args.log_interval == 0:
+                lr = float(schedule(step))
+                speed = tot_frames / max(time.time() - t_start, 1e-9)
+                logging.info(
+                    f"epoch {epoch} step {step}: loss {loss:.4f} "
+                    f"(avg {tot_loss / max(tot_frames, 1):.4f}) lr {lr:.2e} "
+                    f"frames/s {speed:.0f}"
+                )
+                if tb:
+                    tb.add_scalar("train/loss", loss, step)
+                    tb.add_scalar("train/lr", lr, step)
+                tot_loss, tot_frames, t_start = 0.0, 0, time.time()
+
+            if step % args.average_period == 0:
+                model_avg = update_averaged_model(
+                    model_avg, jax.device_get(state.params), step,
+                    args.average_period,
+                )
+
+            if args.save_every_n > 0 and step % args.save_every_n == 0:
+                path = exp_dir / f"checkpoint-{step}"
+                checkpoint_io.save_checkpoint(
+                    str(path), jax.device_get(state),
+                    extra={"sampler": sampler.state_dict(),
+                           "batch_idx_train": step,
+                           "average_period": args.average_period},
+                )
+                saved_iters.append(path)
+                while len(saved_iters) > args.keep_last_k:
+                    old = saved_iters.pop(0)
+                    shutil.rmtree(old, ignore_errors=True)
+
+            if dev_sampler and step % args.valid_interval == 0:
+                v_loss, v_frames = 0.0, 0
+                for i, vb in enumerate(
+                    prefetch_batches(dev_sampler, dataset)
+                ):
+                    vl = float(
+                        eval_step(
+                            state.params,
+                            {k: jnp.asarray(v) for k, v in vb.items()
+                             if k in ("tokens", "tokens_lens", "features",
+                                      "features_lens")},
+                            jax.random.PRNGKey(0),
+                        )
+                    )
+                    f = int(vb["features_lens"].sum())
+                    v_loss += vl * f
+                    v_frames += f
+                    if i >= 20:
+                        break
+                logging.info(
+                    f"validation: loss {v_loss / max(v_frames, 1):.4f}"
+                )
+                if tb:
+                    tb.add_scalar(
+                        "valid/loss", v_loss / max(v_frames, 1), step
+                    )
+
+        # end of epoch checkpoint
+        path = exp_dir / f"epoch-{epoch}"
+        checkpoint_io.save_checkpoint(
+            str(path), jax.device_get(state),
+            extra={"sampler": sampler.state_dict(),
+                   "batch_idx_train": int(state.step),
+                   "average_period": args.average_period},
+        )
+        checkpoint_io.save_checkpoint(str(path) + "-avg", model_avg)
+        logging.info(f"saved {path}")
+
+    logging.info("training done")
+
+
+if __name__ == "__main__":
+    main()

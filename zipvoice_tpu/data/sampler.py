@@ -36,6 +36,7 @@ class DynamicBucketingSampler:
         self.seed = seed
         self.epoch = 0
         self._resume_batch = 0
+        self._cur_batch = 0
 
         durations = sorted(c.duration for c in self.cuts)
         n = len(durations)

@@ -40,6 +40,7 @@ def load_model_dir(
     import jax.numpy as jnp
 
     from zipvoice_tpu.frontend.tokenizer import EmiliaTokenizer, DialogTokenizer
+    from zipvoice_tpu.models.dialog import ZipVoiceDialog, ZipVoiceDialogStereo
     from zipvoice_tpu.models.zipvoice import ZipVoice, ZipVoiceDistill
     from zipvoice_tpu.utils.convert import convert_zipvoice
 
@@ -47,20 +48,27 @@ def load_model_dir(
         model_config = json.load(f)["model"]
 
     token_file = os.path.join(model_dir, "tokens.txt")
+    extra = {}
     if model_name in ("zipvoice_dialog", "zipvoice_dialog_stereo"):
         tokenizer = DialogTokenizer(token_file)
+        extra = dict(
+            spk_a_id=tokenizer.spk_a_id, spk_b_id=tokenizer.spk_b_id
+        )
     else:
         tokenizer = EmiliaTokenizer(token_file)
 
     cls = {
         "zipvoice": ZipVoice,
         "zipvoice_distill": ZipVoiceDistill,
+        "zipvoice_dialog": ZipVoiceDialog,
+        "zipvoice_dialog_stereo": ZipVoiceDialogStereo,
     }[model_name]
     model = cls(
         **model_config,
         vocab_size=tokenizer.vocab_size,
         pad_id=tokenizer.pad_id,
         dtype=dtype or jnp.float32,
+        **extra,
     )
 
     ckpt_path = os.path.join(model_dir, "model.pt")
