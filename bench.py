@@ -89,15 +89,20 @@ def main():
     )
 
     # warmup/compile
+    t0 = time.perf_counter()
     wav, wo_lens = pipeline(*args)
     jax.block_until_ready(wav)
+    print(f"# warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
 
     n_iters = 5
-    t0 = time.perf_counter()
+    iter_times = []
     for _ in range(n_iters):
+        t0 = time.perf_counter()
         wav, wo_lens = pipeline(*args)
-    jax.block_until_ready(wav)
-    wall = (time.perf_counter() - t0) / n_iters
+        jax.block_until_ready((wav, wo_lens))
+        iter_times.append(time.perf_counter() - t0)
+    print(f"# iter times: {[round(t, 4) for t in iter_times]}")
+    wall = sorted(iter_times)[len(iter_times) // 2]  # median
 
     audio_seconds = float(np.asarray(wo_lens)[0]) / frames_per_sec
     rtf = wall / audio_seconds

@@ -1,0 +1,115 @@
+"""Serving runtime: speaker cache + micro-batching engine + HTTP endpoints."""
+
+import base64
+import io
+import json
+import string
+import threading
+import urllib.error
+import urllib.request
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+torch = pytest.importorskip("torch")
+
+
+def _wav_b64(wav: np.ndarray, sr: int) -> str:
+    x = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(x.tobytes())
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    from conftest import has_reference
+
+    if not has_reference():
+        pytest.skip("reference unavailable")
+    import json as _json
+
+    from zipvoice.models.zipvoice import ZipVoice as RefZipVoice
+
+    tmp_path = tmp_path_factory.mktemp("model")
+    from test_infer_pipeline import TINY
+
+    chars = ["_"] + list(string.ascii_lowercase) + list(" .,!?'")
+    (tmp_path / "tokens.txt").write_text(
+        "".join(f"{c}\t{i}\n" for i, c in enumerate(chars))
+    )
+    torch.manual_seed(0)
+    ref = RefZipVoice(**TINY, vocab_size=len(chars), pad_id=0)
+    torch.save({"model": ref.state_dict()}, tmp_path / "model.pt")
+    (tmp_path / "model.json").write_text(_json.dumps({"model": TINY}))
+    return tmp_path
+
+
+def test_server_end_to_end(tiny_model_dir):
+    from zipvoice_tpu.infer.pipeline import InferencePipeline
+    from zipvoice_tpu.serving.server import TTSEngine, make_handler
+    from zipvoice_tpu.utils.checkpoint_io import load_model_dir, load_vocos
+    from http.server import ThreadingHTTPServer
+
+    model, params, tokenizer = load_model_dir(str(tiny_model_dir), "zipvoice")
+    vocoder, vp = load_vocos(None)
+    pipeline = InferencePipeline(model, params, vocoder, vp, tokenizer)
+    engine = TTSEngine(pipeline, max_batch=4, num_step=2, guidance_scale=1.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    # health
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/health", timeout=10
+    ) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+    # register a speaker (1.2 s tone prompt)
+    sr = 24000
+    t = np.arange(int(1.2 * sr), dtype=np.float32) / sr
+    prompt = 0.2 * np.sin(2 * np.pi * 220 * t)
+    assert post("/speaker", {
+        "name": "spk1",
+        "prompt_text": "hello there.",
+        "prompt_wav_b64": _wav_b64(prompt, sr),
+    })["status"] == "ok"
+
+    # cached-speaker tts
+    out = post("/tts", {"speaker": "spk1", "text": "a test sentence."})
+    assert out["sample_rate"] == sr
+    assert out["audio_s"] > 0
+    wav_bytes = base64.b64decode(out["wav_b64"])
+    with wave_mod.open(io.BytesIO(wav_bytes), "rb") as f:
+        assert f.getframerate() == sr
+        assert f.getnframes() > 0
+
+    # inline-prompt tts + unknown speaker error
+    out2 = post("/tts", {
+        "text": "another one.",
+        "prompt_text": "hello there.",
+        "prompt_wav_b64": _wav_b64(prompt, sr),
+    })
+    assert out2["audio_s"] > 0
+    try:
+        post("/tts", {"speaker": "nope", "text": "x"})
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    server.shutdown()

@@ -1,0 +1,97 @@
+"""Benchmark client for the TTS server (reference
+runtime/nvidia_triton/client_grpc.py: concurrency sweep + latency
+percentiles; this speaks the HTTP/JSON protocol of serving/server.py).
+
+  python -m zipvoice_tpu.serving.client --url http://localhost:8000 \
+    --prompt-wav prompt.wav --prompt-text "..." \
+    --text "hello" --concurrency 1,2,4,8 --num-requests 32 [--use-cache]
+"""
+
+import argparse
+import base64
+import json
+import logging
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+
+def post(url: str, path: str, obj: dict, timeout: float = 600.0) -> dict:
+    req = urllib.request.Request(
+        url + path,
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--url", type=str, default="http://localhost:8000")
+    p.add_argument("--prompt-wav", type=str, required=True)
+    p.add_argument("--prompt-text", type=str, required=True)
+    p.add_argument("--text", type=str, required=True)
+    p.add_argument("--concurrency", type=str, default="1,2,4,8")
+    p.add_argument("--num-requests", type=int, default=32)
+    p.add_argument("--use-cache", action="store_true",
+                   help="register the speaker once and reuse it")
+    args = p.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    with open(args.prompt_wav, "rb") as f:
+        wav_b64 = base64.b64encode(f.read()).decode()
+
+    if args.use_cache:
+        post(args.url, "/speaker", {
+            "name": "bench",
+            "prompt_text": args.prompt_text,
+            "prompt_wav_b64": wav_b64,
+        })
+        payload = {"speaker": "bench", "text": args.text}
+    else:
+        payload = {
+            "text": args.text,
+            "prompt_text": args.prompt_text,
+            "prompt_wav_b64": wav_b64,
+        }
+
+    # warmup (compile)
+    post(args.url, "/tts", payload)
+
+    for conc in map(int, args.concurrency.split(",")):
+        latencies = []
+        audio_s = []
+        lock = threading.Lock()
+        n_per = args.num_requests // conc
+
+        def worker():
+            for _ in range(n_per):
+                t0 = time.perf_counter()
+                out = post(args.url, "/tts", payload)
+                dt = time.perf_counter() - t0
+                with lock:
+                    latencies.append(dt)
+                    audio_s.append(out["audio_s"])
+
+        t_start = time.perf_counter()
+        threads = [threading.Thread(target=worker) for _ in range(conc)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        total = time.perf_counter() - t_start
+        lat = np.array(latencies) * 1000
+        logging.info(
+            f"concurrency {conc}: total {total:.3f}s, "
+            f"P50 {np.percentile(lat, 50):.2f}ms "
+            f"P90 {np.percentile(lat, 90):.2f}ms "
+            f"P99 {np.percentile(lat, 99):.2f}ms avg {lat.mean():.2f}ms, "
+            f"audio-s/s {sum(audio_s) / total:.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

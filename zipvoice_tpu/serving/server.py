@@ -1,0 +1,265 @@
+"""TTS serving runtime: HTTP server with micro-batching and a speaker cache.
+
+Replaces the reference's Triton/TensorRT stack
+(reference runtime/nvidia_triton/: model.py, pytriton_server.py) with a
+TPU-native design:
+
+- requests queue up and a worker thread forms micro-batches (dynamic
+  batching, like Triton's), dispatching one compiled XLA program per
+  (batch, token, frame) bucket — the "engine" is the jit cache, AOT-warmed
+  at startup;
+- a speaker cache stores precomputed prompt features + tokens per speaker
+  id (reference pytriton_server.py:188-236), skipping fbank+G2P per request;
+- plain HTTP/JSON (base64 wav in/out) via stdlib http.server so there is no
+  framework dependency.
+
+  python -m zipvoice_tpu.serving.server --model-dir DIR --port 8000
+
+POST /tts        {"text": ..., "prompt_text": ..., "prompt_wav_b64": ...}
+POST /tts        {"text": ..., "speaker": "cached_name"}
+POST /speaker    {"name": ..., "prompt_text": ..., "prompt_wav_b64": ...}
+GET  /health
+"""
+
+import argparse
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class SpeakerCache:
+    def __init__(self, pipeline):
+        self.pipeline = pipeline
+        self._cache: Dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    def add(self, name: str, prompt_text: str, wav: np.ndarray, sr: int):
+        from zipvoice_tpu.frontend.audio import remove_silence, rms_norm
+
+        pipe = self.pipeline
+        if sr != pipe.sampling_rate:
+            from zipvoice_tpu.frontend.audio import resample
+
+            wav = resample(wav, sr, pipe.sampling_rate)
+        wav = remove_silence(wav, pipe.sampling_rate, trail_sil=200)
+        wav, prompt_rms = rms_norm(wav, 0.1)
+        feats = pipe.feature_extractor.extract(
+            wav, pipe.sampling_rate
+        ) * pipe.feat_scale
+        tokens = pipe.tokenizer.texts_to_token_ids([prompt_text])[0]
+        entry = {
+            "features": feats,
+            "tokens": tokens,
+            "prompt_rms": prompt_rms,
+            "duration": wav.shape[-1] / pipe.sampling_rate,
+        }
+        with self._lock:
+            self._cache[name] = entry
+        return entry
+
+    def get(self, name: str) -> Optional[dict]:
+        with self._lock:
+            return self._cache.get(name)
+
+
+class TTSEngine:
+    """Micro-batching worker around the InferencePipeline."""
+
+    def __init__(self, pipeline, max_batch: int = 8,
+                 batch_window_ms: float = 10.0, num_step: int = 16,
+                 guidance_scale: float = 1.0):
+        self.pipeline = pipeline
+        self.cache = SpeakerCache(pipeline)
+        self.max_batch = max_batch
+        self.batch_window = batch_window_ms / 1000.0
+        self.num_step = num_step
+        self.guidance_scale = guidance_scale
+        self.q: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, speaker_entry: dict, text: str) -> "queue.Queue":
+        done: "queue.Queue" = queue.Queue(maxsize=1)
+        tokens = self.pipeline.tokenizer.texts_to_token_ids([text])[0]
+        self.q.put((speaker_entry, tokens, done))
+        return done
+
+    def _run(self):
+        while True:
+            first = self.q.get()
+            batch = [first]
+            deadline = time.time() + self.batch_window
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            try:
+                self._process(batch)
+            except Exception as e:  # noqa: BLE001
+                logging.exception("batch failed")
+                for _, _, done in batch:
+                    done.put(("error", str(e)))
+
+    def _process(self, batch):
+        # group by speaker (same prompt features batch together)
+        pipe = self.pipeline
+        by_spk: Dict[int, List] = {}
+        for item in batch:
+            by_spk.setdefault(id(item[0]), []).append(item)
+        for items in by_spk.values():
+            entry = items[0][0]
+            tokens_list = [tokens for _, tokens, _ in items]
+            # run them as one padded batch
+            feats, lens = pipe._sample_batch(
+                tokens_list, entry["tokens"], entry["features"],
+                num_step=self.num_step, guidance_scale=self.guidance_scale,
+                speed=1.0, t_shift=0.5,
+            )
+            chunks = [feats[i, : lens[i]] for i in range(len(items))]
+            wavs = pipe._vocode_chunks(chunks)
+            for (entry_, _, done), wav in zip(items, wavs):
+                if entry_["prompt_rms"] < 0.1:
+                    wav = wav * entry_["prompt_rms"] / 0.1
+                done.put(("ok", wav))
+
+
+def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    import wave as wave_mod
+
+    x = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav_b64(b64: str):
+    import wave as wave_mod
+
+    raw = base64.b64decode(b64)
+    with wave_mod.open(io.BytesIO(raw), "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        ch = f.getnchannels()
+        data = np.frombuffer(f.readframes(n), np.int16)
+    wav = (data.astype(np.float32) / 32768.0).reshape(-1, ch).T
+    return wav, sr
+
+
+def make_handler(engine: TTSEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logging.debug(fmt % args)
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(length))
+            except json.JSONDecodeError:
+                self._json(400, {"error": "bad json"})
+                return
+            if self.path == "/speaker":
+                wav, sr = _decode_wav_b64(req["prompt_wav_b64"])
+                engine.cache.add(req["name"], req["prompt_text"], wav, sr)
+                self._json(200, {"status": "ok"})
+            elif self.path == "/tts":
+                t0 = time.time()
+                if "speaker" in req:
+                    entry = engine.cache.get(req["speaker"])
+                    if entry is None:
+                        self._json(404, {"error": "unknown speaker"})
+                        return
+                else:
+                    wav, sr = _decode_wav_b64(req["prompt_wav_b64"])
+                    entry = engine.cache.add(
+                        f"_anon_{time.time()}", req["prompt_text"], wav, sr
+                    )
+                done = engine.submit(entry, req["text"])
+                status, result = done.get()
+                if status != "ok":
+                    self._json(500, {"error": result})
+                    return
+                sr = engine.pipeline.sampling_rate
+                self._json(200, {
+                    "wav_b64": base64.b64encode(
+                        _wav_bytes(result, sr)
+                    ).decode(),
+                    "sample_rate": sr,
+                    "latency_s": time.time() - t0,
+                    "audio_s": len(result) / sr,
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-dir", type=str, required=True)
+    p.add_argument("--model-name", type=str, default="zipvoice_distill")
+    p.add_argument("--vocoder-path", type=str, default=None)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--num-step", type=int, default=4)
+    p.add_argument("--guidance-scale", type=float, default=3.0)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--platform", type=str, default=None, choices=[None, "cpu"])
+    p.add_argument("--bf16", action="store_true", default=True)
+    args = p.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.infer.pipeline import InferencePipeline
+    from zipvoice_tpu.utils.checkpoint_io import load_model_dir, load_vocos
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model, params, tokenizer = load_model_dir(
+        args.model_dir, args.model_name, dtype=dtype
+    )
+    vocoder, vp = load_vocos(args.vocoder_path, dtype=dtype)
+    pipeline = InferencePipeline(model, params, vocoder, vp, tokenizer)
+    engine = TTSEngine(
+        pipeline, max_batch=args.max_batch, num_step=args.num_step,
+        guidance_scale=args.guidance_scale,
+    )
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
+    logging.info(f"serving on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

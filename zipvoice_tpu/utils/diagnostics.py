@@ -1,0 +1,114 @@
+"""Diagnostics & profiling.
+
+Replaces the reference's forward/backward-hook machinery
+(zipvoice/utils/diagnostics.py: per-module tensor stats;
+zipvoice/utils/hooks.py: inf/NaN checks) with functional equivalents:
+
+- ``collect_module_stats``: runs a flax apply with
+  ``capture_intermediates=True`` and reports per-module abs/rms/min/max
+  percentiles of every intermediate output;
+- ``find_nonfinite``: walks intermediates/grads for inf/NaN (the
+  ``--inf-check`` analogue);
+- ``profile``: context manager around ``jax.profiler.trace`` writing a
+  TensorBoard-loadable trace (the TPU answer to the reference's wall-clock
+  RTF logging, SURVEY.md §5).
+"""
+
+import contextlib
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _stats(x: np.ndarray) -> Dict[str, float]:
+    x = np.asarray(x, np.float32).ravel()
+    if x.size == 0:
+        return {}
+    ax = np.abs(x)
+    return {
+        "shape": None,
+        "mean": float(x.mean()),
+        "rms": float(np.sqrt(np.mean(x * x))),
+        "abs_p50": float(np.percentile(ax, 50)),
+        "abs_p95": float(np.percentile(ax, 95)),
+        "max": float(x.max()),
+        "min": float(x.min()),
+        "frac_pos": float((x > 0).mean()),
+    }
+
+
+def collect_module_stats(
+    model, variables, *args, method=None, **kwargs
+) -> Dict[str, Dict[str, float]]:
+    """Run a forward capturing every module's output and return stats
+    (the --print-diagnostics analogue, reference diagnostics.py:570+)."""
+    out, state = model.apply(
+        variables, *args, method=method, capture_intermediates=True, **kwargs
+    )
+    stats: Dict[str, Dict[str, float]] = {}
+
+    flat = jax.tree_util.tree_flatten_with_path(
+        state.get("intermediates", {})
+    )[0]
+    for path, leaf in flat:
+        if not hasattr(leaf, "shape"):
+            continue
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        s = _stats(np.asarray(leaf))
+        s["shape"] = tuple(leaf.shape)
+        stats[name] = s
+    return stats
+
+
+def find_nonfinite(tree: Any, prefix: str = "") -> Dict[str, int]:
+    """Return {path: count_nonfinite} for every offending leaf."""
+    bad = {}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        if not hasattr(leaf, "dtype"):
+            continue
+        arr = np.asarray(leaf)
+        if not np.issubdtype(arr.dtype, np.floating):
+            continue
+        n = int((~np.isfinite(arr)).sum())
+        if n:
+            name = prefix + "/".join(
+                str(getattr(p, "key", p)) for p in path
+            )
+            bad[name] = n
+    return bad
+
+
+def assert_all_finite(tree: Any, what: str = "tree") -> None:
+    bad = find_nonfinite(tree)
+    if bad:
+        raise FloatingPointError(f"non-finite values in {what}: {bad}")
+
+
+@contextlib.contextmanager
+def profile(logdir: str):
+    """jax profiler trace (view with tensorboard's profile plugin)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def format_stats(stats: Dict[str, Dict[str, float]], top: int = 0) -> str:
+    lines = []
+    items = stats.items()
+    if top:
+        items = sorted(
+            items, key=lambda kv: -kv[1].get("abs_p95", 0.0)
+        )[:top]
+    for name, s in items:
+        lines.append(
+            f"{name} shape={s.get('shape')} rms={s.get('rms', 0):.3g} "
+            f"abs[p50={s.get('abs_p50', 0):.3g} p95={s.get('abs_p95', 0):.3g}] "
+            f"range=[{s.get('min', 0):.3g},{s.get('max', 0):.3g}] "
+            f"pos={s.get('frac_pos', 0):.2f}"
+        )
+    return "\n".join(lines)
