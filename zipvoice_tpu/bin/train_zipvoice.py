@@ -64,6 +64,14 @@ def get_parser():
     p.add_argument("--start-epoch", type=int, default=1)
     p.add_argument("--checkpoint", type=str, default=None,
                    help="torch .pt / orbax dir to initialize from")
+    p.add_argument("--init-from-base", type=str, default=None,
+                   help="dialog finetune: base ZipVoice ckpt; the embedding "
+                        "table is vocab-extended (reference "
+                        "checkpoint.py:147-170)")
+    p.add_argument("--init-from-dialog", type=str, default=None,
+                   help="stereo finetune: mono Dialog ckpt; fm_decoder "
+                        "projections are duplicated for two-stream "
+                        "(reference checkpoint.py:173-229)")
     p.add_argument("--save-every-n", type=int, default=5000)
     p.add_argument("--keep-last-k", type=int, default=30)
     p.add_argument("--average-period", type=int, default=200)
@@ -212,7 +220,29 @@ def main():
     assert sample_batch is not None, "empty dataset"
     B, T, F = sample_batch["features"].shape
 
-    if args.checkpoint and args.checkpoint.endswith(".pt"):
+    if args.init_from_base or args.init_from_dialog:
+        from zipvoice_tpu.utils.convert import convert_zipvoice
+        from zipvoice_tpu.utils.structural_loaders import (
+            copy_proj_three_channel,
+            extend_vocab,
+        )
+
+        src = args.init_from_base or args.init_from_dialog
+        params = convert_zipvoice(checkpoint_io.load_torch_state_dict(src))
+        if args.init_from_base:
+            params = extend_vocab(
+                params, tokenizer.vocab_size,
+                rng=np.random.RandomState(args.seed),
+                feat_dim=cfg.get("feat_dim", 100),
+            )
+            logging.info(f"dialog init from base ckpt {src} (vocab extended)")
+        if args.init_from_dialog:
+            params = copy_proj_three_channel(
+                params, feat_dim=cfg.get("feat_dim", 100)
+            )
+            logging.info(f"stereo init from dialog ckpt {src} "
+                         f"(two-stream projections duplicated)")
+    elif args.checkpoint and args.checkpoint.endswith(".pt"):
         sd = checkpoint_io.load_torch_state_dict(args.checkpoint)
         from zipvoice_tpu.utils.convert import convert_zipvoice
 
