@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is compile-bound; repeat runs are warm
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache_cpu")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

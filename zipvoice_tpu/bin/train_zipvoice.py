@@ -78,6 +78,12 @@ def get_parser():
     p.add_argument("--valid-interval", type=int, default=2000)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--num-data-parallel", type=int, default=None)
+    # multi-host: jax.distributed (replaces the reference's mp.spawn + NCCL
+    # process groups, train_zipvoice.py:1113-1124 / common.py:187-213)
+    p.add_argument("--coordinator-address", type=str, default=None,
+                   help="host:port of process 0 for multi-host training")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--platform", type=str, default=None, choices=[None, "cpu"])
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -146,6 +152,15 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        logging.info(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+        )
     import jax.numpy as jnp
     import optax
 
@@ -328,12 +343,29 @@ def main():
                  if k in ("tokens", "tokens_lens", "features", "features_lens")},
                 mesh,
             )
-            state, metrics = train_step(state, sharded, step_rng)
-            step = int(state.step)
+            try:
+                state, metrics = train_step(state, sharded, step_rng)
+                step = int(state.step)
+                loss = float(metrics["loss"])
+                if args.inf_check and not np.isfinite(loss):
+                    raise RuntimeError(
+                        f"non-finite loss at step {step}: {loss}"
+                    )
+            except Exception:
+                # save the offending batch + model for post-mortem
+                # (reference train_zipvoice.py:536-549,769-795)
+                bad = exp_dir / "bad-batch.npz"
+                np.savez(
+                    bad,
+                    **{k: v for k, v in batch.items()
+                       if isinstance(v, np.ndarray)},
+                )
+                checkpoint_io.save_checkpoint(
+                    str(exp_dir / "bad-model"), jax.device_get(state)
+                )
+                logging.error(f"step failed; batch saved to {bad}")
+                raise
             frames = int(batch["features_lens"].sum())
-            loss = float(metrics["loss"])
-            if args.inf_check and not np.isfinite(loss):
-                raise RuntimeError(f"non-finite loss at step {step}: {loss}")
             tot_loss += loss * frames
             tot_frames += frames
 

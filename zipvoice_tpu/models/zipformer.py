@@ -183,6 +183,7 @@ class RelPosAttentionWeights(nn.Module):
     query_head_dim: int
     pos_head_dim: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, pos_emb, key_padding_mask=None):
@@ -196,13 +197,36 @@ class RelPosAttentionWeights(nn.Module):
         k = proj[..., h * qd : 2 * h * qd].reshape(B, T, h, qd)
         p = proj[..., 2 * h * qd :].reshape(B, T, h, pd)
 
+        pe_proj = dense(
+            h * pd, self.pos_dim, use_bias=False,
+            initial_scale=0.05, dtype=self.dtype, name="linear_pos",
+        )
+
+        if self.use_pallas and T % 128 == 0:
+            from zipvoice_tpu.ops.pallas_attention import (
+                rel_pos_attention_weights,
+            )
+
+            pe_h = pe_proj(pos_emb).reshape(2 * T - 1, h, pd).transpose(
+                1, 0, 2
+            )
+            mask = (
+                key_padding_mask
+                if key_padding_mask is not None
+                else jnp.zeros((B, T), bool)
+            )
+            return rel_pos_attention_weights(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                p.transpose(0, 2, 1, 3),
+                pe_h,
+                mask,
+            ).astype(x.dtype)
+
         attn_scores = jnp.einsum("bthd,bshd->bhts", q, k)
 
         # positional part: project pos table per head, then rel->abs gather
-        pe = dense(
-            h * pd, self.pos_dim, use_bias=False,
-            initial_scale=0.05, dtype=self.dtype, name="linear_pos",
-        )(pos_emb).reshape(2 * T - 1, h, pd)
+        pe = pe_proj(pos_emb).reshape(2 * T - 1, h, pd)
         pos_scores = jnp.einsum("bthd,nhd->bhtn", p, pe)
         # abs_score[i, j] = rel_score[i, (j - i) + T - 1]
         # (defined by the reference's as_strided at zipformer.py:1239-1248)
@@ -348,6 +372,7 @@ class ZipformerEncoderLayer(nn.Module):
     cnn_module_kernel: int
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -370,6 +395,7 @@ class ZipformerEncoderLayer(nn.Module):
             query_head_dim=self.query_head_dim,
             pos_head_dim=self.pos_head_dim,
             dtype=self.dtype,
+            use_pallas=self.use_pallas_attention,
             name="self_attn_weights",
         )(src, pos_emb, key_padding_mask)
 
@@ -447,6 +473,7 @@ class ZipformerEncoder(nn.Module):
     cnn_module_kernel: int
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -483,6 +510,7 @@ class ZipformerEncoder(nn.Module):
                 cnn_module_kernel=self.cnn_module_kernel,
                 use_conv=self.use_conv,
                 dtype=self.dtype,
+                use_pallas_attention=self.use_pallas_attention,
                 name=f"layers_{i}",
             )(
                 out, pos_emb, time_emb, key_padding_mask,
@@ -508,6 +536,7 @@ class EncoderStack(nn.Module):
     cnn_module_kernel: int
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -528,6 +557,7 @@ class EncoderStack(nn.Module):
             cnn_module_kernel=self.cnn_module_kernel,
             use_conv=self.use_conv,
             dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
             name="encoder",
         )
         if ds == 1:
@@ -597,6 +627,7 @@ class TTSZipformer(nn.Module):
     guidance_scale_embed_dim: int = 192
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas_attention: bool = False
 
     def _per_stack(self, val):
         n = len(self.downsampling_factor)
@@ -675,6 +706,7 @@ class TTSZipformer(nn.Module):
                 cnn_module_kernel=kernels[i],
                 use_conv=self.use_conv,
                 dtype=self.dtype,
+                use_pallas_attention=self.use_pallas_attention,
                 name=f"encoders_{i}",
             )(
                 x, time_emb, padding_mask,

@@ -1,0 +1,141 @@
+"""Pallas TPU kernel: fused relative-position attention weights.
+
+Computes softmax(q@k^T + rel2abs(p@pe^T) + mask) in one VMEM-resident pass.
+
+The XLA fallback (models/zipformer.py RelPosAttentionWeights) materializes
+pos_scores (B, h, T, 2T-1) in HBM, gathers it to (B, h, T, T), adds, masks,
+and softmaxes — several HBM round trips over O(T^2) tensors.  This kernel
+keeps everything for a 128-row query tile in VMEM:
+
+  grid = (B*h, T/128): per tile
+    - qk    = q_tile (128, qd) @ k^T (qd, T)            [MXU]
+    - pos   = p_tile (128, pd) @ pe^T (pd, 2T-1)        [MXU]
+    - skew: row r of the output takes pos[r, T-1-r : 2T-1-r]
+      (the reference's as_strided rel->abs conversion,
+      zipformer.py:1239-1248), realized as 128 VMEM dynamic slices
+    - mask fill -1000, row softmax                       [VPU]
+
+Used by RelPosAttentionWeights(use_pallas=True); numerics validated against
+the jnp path in tests/test_pallas_attention.py (interpret mode on CPU).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_TILE = 128
+
+
+def _attn_weights_kernel(q_ref, k_ref, p_ref, pe_ref, mask_ref, out_ref):
+    # blocks carry a leading singleton (batch*head) dim:
+    # q_ref: (1, ROW_TILE, qd); k_ref: (1, T, qd); p_ref: (1, ROW_TILE, pd)
+    # pe_ref: (1, 2T-1, pd); mask_ref: (1, T) bool; out_ref: (1, ROW_TILE, T)
+    i = pl.program_id(1)
+    T = k_ref.shape[1]
+
+    qk = jnp.dot(
+        q_ref[0], k_ref[0].T, preferred_element_type=jnp.float32
+    )  # (ROW_TILE, T)
+    pos_full = jnp.dot(
+        p_ref[0], pe_ref[0].T, preferred_element_type=jnp.float32
+    )  # (ROW_TILE, 2T-1)
+
+    row_base = i * ROW_TILE
+
+    def body(r, scores):
+        # absolute row index; slice [T-1-row : 2T-1-row]
+        row = row_base + r
+        start = T - 1 - row
+        sl = jax.lax.dynamic_slice(pos_full, (r, start), (1, T))
+        return jax.lax.dynamic_update_slice(scores, sl, (r, 0))
+
+    pos = jax.lax.fori_loop(
+        0, ROW_TILE, body, jnp.zeros((ROW_TILE, T), jnp.float32)
+    )
+
+    scores = qk + pos
+    scores = jnp.where(mask_ref[0, :][None, :], -1000.0, scores)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    out_ref[0] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+        out_ref.dtype
+    )
+
+
+def rel_pos_attention_weights(
+    q: jax.Array,
+    k: jax.Array,
+    p: jax.Array,
+    pe: jax.Array,
+    key_padding_mask: jax.Array,
+    interpret: bool = None,
+) -> jax.Array:
+    if interpret is None:
+        # pallas has no compiled CPU path; interpret there (tests)
+        interpret = jax.default_backend() == "cpu"
+    return _rel_pos_attention_weights(
+        q, k, p, pe, key_padding_mask, interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rel_pos_attention_weights(
+    q: jax.Array,
+    k: jax.Array,
+    p: jax.Array,
+    pe: jax.Array,
+    key_padding_mask: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """q, k: (B, h, T, qd); p: (B, h, T, pd); pe: (h, 2T-1, pd)
+    (head-projected positional table); key_padding_mask: (B, T) bool.
+    Returns (B, h, T, T) softmaxed weights.
+    """
+    B, h, T, qd = q.shape
+    pd = p.shape[-1]
+    assert T % ROW_TILE == 0, (T, ROW_TILE)
+    n_tiles = T // ROW_TILE
+
+    qf = q.reshape(B * h, T, qd).astype(jnp.float32)
+    kf = k.reshape(B * h, T, qd).astype(jnp.float32)
+    pf = p.reshape(B * h, T, pd).astype(jnp.float32)
+    pef = jnp.broadcast_to(pe[None], (B, h, 2 * T - 1, pd)).reshape(
+        B * h, 2 * T - 1, pd
+    ).astype(jnp.float32)
+    maskf = jnp.repeat(key_padding_mask, h, axis=0)  # (B*h, T)
+
+    grid = (B * h, n_tiles)
+    out = pl.pallas_call(
+        _attn_weights_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, ROW_TILE, qd), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, T, qd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ROW_TILE, pd), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2 * T - 1, pd), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, T), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROW_TILE, T), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * h, T, T), jnp.float32),
+        interpret=interpret,
+    )(qf, kf, pf, pef, maskf)
+    return out.reshape(B, h, T, T)
