@@ -2,10 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: RTF (wall seconds per generated audio second) of the full mel
-pipeline — text conditioning + 16-step Euler/CFG sampling + Vocos vocoding —
-for a ~10 s utterance, bf16 compute.  BASELINE.json's north-star target is
-RTF < 0.05/chip; vs_baseline reports target/actual (>1 = beating target).
+Measures the full mel pipeline — text conditioning + 16-step Euler/CFG
+sampling + Vocos vocoding — for a batch of 8 utterances of ~10 s each
+(plus 3 s prompts), bf16 compute, and reports RTF per chip
+(wall seconds / generated audio seconds).  BASELINE.json's target is
+RTF < 0.05/chip; vs_baseline = target/actual (>1 = beating target).
+
+Implementation notes:
+- params are initialized host-side from shapes (jax.eval_shape) so warmup
+  pays exactly one remote compile (the pipeline itself);
+- a persistent compilation cache under .jax_cache makes repeat runs hot;
+- each timed iteration gets fresh noise and materializes the output on the
+  host: block_until_ready does not reliably synchronize through this
+  environment's remote-TPU relay, and identical inputs could be cached.
 """
 
 import json
@@ -14,14 +23,31 @@ import time
 
 import jax
 
-# persistent compile cache: first run pays the (slow, remote) compile; the
-# driver's subsequent bench runs start hot
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
+
+
+def host_init_params(model, rng, **init_kwargs):
+    """Initialize parameters on host (numpy) from eval_shape — no device
+    compile/execute for the init program."""
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), **init_kwargs)
+    )
+    leaves, treedef = jax.tree.flatten(shapes)
+    out = []
+    for i, s in enumerate(leaves):
+        fan_in = s.shape[0] if len(s.shape) >= 1 else 1
+        scale = 1.0 / np.sqrt(max(fan_in, 1))
+        out.append(
+            (rng.randn(*s.shape) * scale).astype(s.dtype)
+            if np.issubdtype(s.dtype, np.floating)
+            else np.zeros(s.shape, s.dtype)
+        )
+    return jax.tree.unflatten(treedef, out)
 
 
 def main():
@@ -33,43 +59,48 @@ def main():
     model = ZipVoice(vocab_size=360, pad_id=0, dtype=dtype)
     F = model.feat_dim
 
-    # ~10 s of generated audio at 93.75 fps, plus a 3 s prompt
+    B = 8
     frames_per_sec = 24000 / 256
     prompt_s, gen_s = 3.0, 10.0
     Tp = int(prompt_s * frames_per_sec)
-    T = 1280  # bucket covering prompt+gen frames
+    T = 1280
     num_step, gs = 16, 1.0
 
     rng = np.random.RandomState(0)
     prompt_tokens = list(rng.randint(3, 300, size=30))
-    text_tokens = list(rng.randint(3, 300, size=100))
-    tok, tok_lens = pad_tokens([prompt_tokens + text_tokens], pad_id=0)
-    ptl = np.array([len(prompt_tokens)], np.int32)
-    pf = np.zeros((1, T, F), np.float32)
-    pf[:, :Tp] = rng.randn(1, Tp, F) * 0.5
-    pfl = np.array([Tp], np.int32)
+    texts = [list(rng.randint(3, 300, size=100)) for _ in range(B)]
+    tok, tok_lens = pad_tokens(
+        [prompt_tokens + t for t in texts], pad_id=0
+    )
+    ptl = np.full((B,), len(prompt_tokens), np.int32)
+    pf = np.zeros((B, T, F), np.float32)
+    pf[:, :Tp] = rng.randn(B, Tp, F) * 0.5
+    pfl = np.full((B,), Tp, np.int32)
     total_frames = Tp + int(gen_s * frames_per_sec)
-    fl = np.array([total_frames], np.int32)
-    noise = rng.randn(1, T, F).astype(np.float32)
+    fl = np.full((B,), total_frames, np.int32)
 
-    key = jax.random.PRNGKey(0)
-    params = model.init(
-        key,
-        tokens=jnp.asarray(tok),
-        tokens_lens=jnp.asarray(tok_lens),
+    init_kwargs = dict(
+        tokens=jnp.asarray(tok), tokens_lens=jnp.asarray(tok_lens),
         prompt_tokens_lens=jnp.asarray(ptl),
         prompt_features=jnp.asarray(pf),
         prompt_features_lens=jnp.asarray(pfl),
         features_lens=jnp.asarray(fl),
-        noise=jnp.asarray(noise),
-        num_step=1,
-        guidance_scale=gs,
-        t_shift=0.5,
-        method="sample",
+        noise=jnp.zeros((B, T, F)), num_step=1, guidance_scale=gs,
+        t_shift=0.5, method="sample",
     )
+    params = jax.device_put(host_init_params(model, rng, **init_kwargs))
 
     vocos = Vocos(dtype=dtype)
-    vp = vocos.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, F)))
+    vp_shapes = jax.eval_shape(
+        lambda: vocos.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, F)))
+    )
+    vp = jax.device_put(
+        jax.tree.map(
+            lambda s: (np.random.RandomState(1).randn(*s.shape) * 0.02
+                       ).astype(s.dtype),
+            vp_shapes,
+        )
+    )
 
     @jax.jit
     def pipeline(params, vp, tok, tok_lens, ptl, pf, pfl, fl, noise):
@@ -83,42 +114,38 @@ def main():
         wav = vocos.apply(vp, x1_wo / 0.1)  # undo feat_scale
         return wav, wo_lens
 
-    args = (
-        params, vp, jnp.asarray(tok), jnp.asarray(tok_lens), jnp.asarray(ptl),
-        jnp.asarray(pf), jnp.asarray(pfl), jnp.asarray(fl), jnp.asarray(noise),
+    fixed = (
+        params, vp, jnp.asarray(tok), jnp.asarray(tok_lens),
+        jnp.asarray(ptl), jnp.asarray(pf), jnp.asarray(pfl), jnp.asarray(fl),
     )
 
-    # warmup/compile
     t0 = time.perf_counter()
-    wav, wo_lens = pipeline(*args)
+    wav, wo_lens = pipeline(*fixed, jnp.asarray(
+        rng.randn(B, T, F).astype(np.float32)))
     _ = np.asarray(wav)
     print(f"# warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
 
-    # NOTE: block_until_ready does not reliably synchronize through the
-    # remote-TPU relay in this environment, so each iteration materializes
-    # the output on host (device->host of ~1 MB, negligible vs compute).
-    # Distinct noise per iteration also defeats any remote result caching.
     noises = [
-        jnp.asarray(rng.randn(1, T, F).astype(np.float32)) for _ in range(5)
+        jnp.asarray(rng.randn(B, T, F).astype(np.float32)) for _ in range(4)
     ]
-    n_iters = len(noises)
     iter_times = []
-    for i in range(n_iters):
+    for nz in noises:
         t0 = time.perf_counter()
-        wav, wo_lens = pipeline(*args[:-1], noises[i])
+        wav, wo_lens = pipeline(*fixed, nz)
         _ = np.asarray(wav)
         iter_times.append(time.perf_counter() - t0)
-    print(f"# iter times: {[round(t, 4) for t in iter_times]}")
-    wall = sorted(iter_times)[len(iter_times) // 2]  # median
+    print(f"# iter times (batch {B}): {[round(t, 4) for t in iter_times]}")
+    wall = sorted(iter_times)[len(iter_times) // 2]
 
-    audio_seconds = float(np.asarray(wo_lens)[0]) / frames_per_sec
+    audio_seconds = float(np.sum(np.asarray(wo_lens))) / frames_per_sec
     rtf = wall / audio_seconds
+    print(f"# audio-s/s/chip: {audio_seconds / wall:.2f}")
     print(
         json.dumps(
             {
-                "metric": "rtf_zipvoice_base_16step_bf16_1chip",
+                "metric": "rtf_zipvoice_base_16step_bf16_1chip_batch8",
                 "value": round(rtf, 5),
-                "unit": "rtf (wall_s per audio_s, incl. vocoder)",
+                "unit": "rtf (wall_s per generated audio_s, incl. vocoder)",
                 "vs_baseline": round(0.05 / rtf, 3),
             }
         )

@@ -79,3 +79,47 @@ def test_pipeline_end_to_end(tmp_path):
     assert np.isfinite(wav).all()
     assert metrics["wav_seconds"] > 0
     assert metrics["rtf"] > 0
+
+
+@requires_reference
+def test_infer_cli(tmp_path):
+    """Drive the CLI end to end as a subprocess (the user surface)."""
+    import os
+    import subprocess
+    import sys
+
+    from zipvoice.models.zipvoice import ZipVoice as RefZipVoice
+
+    chars = ["_"] + list(string.ascii_lowercase) + list(" .,!?'")
+    (tmp_path / "tokens.txt").write_text(
+        "".join(f"{c}\t{i}\n" for i, c in enumerate(chars))
+    )
+    torch.manual_seed(0)
+    ref = RefZipVoice(**TINY, vocab_size=len(chars), pad_id=0)
+    torch.save({"model": ref.state_dict()}, tmp_path / "model.pt")
+    (tmp_path / "model.json").write_text(json.dumps({"model": TINY}))
+
+    from zipvoice_tpu.frontend.audio import load_wav, save_wav
+
+    sr = 24000
+    t = np.arange(int(1.2 * sr), dtype=np.float32) / sr
+    prompt = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    wav_path = str(tmp_path / "prompt.wav")
+    save_wav(wav_path, prompt, sr)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out_path = str(tmp_path / "out.wav")
+    r = subprocess.run(
+        [sys.executable, "-m", "zipvoice_tpu.bin.infer_zipvoice",
+         "--model-dir", str(tmp_path), "--prompt-wav", wav_path,
+         "--prompt-text", "hello there.", "--text", "short test.",
+         "--num-step", "2", "--res-wav-path", out_path,
+         "--platform", "cpu"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=500,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "rtf" in (r.stdout + r.stderr)
+    wav = load_wav(out_path, sr)
+    assert wav.shape[-1] > 0 and np.isfinite(wav).all()

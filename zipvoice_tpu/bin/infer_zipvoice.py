@@ -43,6 +43,8 @@ def get_parser():
     parser.add_argument("--target-rms", type=float, default=0.1)
     parser.add_argument("--max-duration", type=float, default=100.0)
     parser.add_argument("--remove-long-sil", action="store_true")
+    parser.add_argument("--raw-evaluation", action="store_true",
+                        help="no chunking/silence processing (benchmark sets)")
     parser.add_argument("--seed", type=int, default=666)
     parser.add_argument("--platform", type=str, default=None,
                         choices=[None, "cpu", "tpu"])
@@ -101,7 +103,7 @@ def main():
 
     total_t, total_audio = 0.0, 0.0
     for save_path, prompt_text, prompt_wav, text in jobs:
-        wav, metrics = pipe.generate_sentence(
+        common = dict(
             prompt_text=prompt_text,
             prompt_wav_path=prompt_wav,
             text=text,
@@ -110,9 +112,17 @@ def main():
             speed=args.speed,
             t_shift=args.t_shift,
             target_rms=args.target_rms,
-            max_duration=args.max_duration,
-            remove_long_sil=args.remove_long_sil,
         )
+        if args.raw_evaluation:
+            wav, metrics = pipe.generate_raw(**common)
+            metrics.setdefault("rtf_no_vocoder", metrics["rtf"])
+            metrics.setdefault("rtf_vocoder", 0.0)
+        else:
+            wav, metrics = pipe.generate_sentence(
+                **common,
+                max_duration=args.max_duration,
+                remove_long_sil=args.remove_long_sil,
+            )
         save_wav(save_path, wav, pipe.sampling_rate)
         total_t += metrics["t"]
         total_audio += metrics["wav_seconds"]

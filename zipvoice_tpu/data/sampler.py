@@ -34,6 +34,7 @@ class DynamicBucketingSampler:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        self.quadratic_duration = quadratic_duration
         self.epoch = 0
         self._resume_batch = 0
         self._cur_batch = 0
@@ -101,6 +102,10 @@ class DynamicBucketingSampler:
             yield batch
 
     def quadratic_cost(self, d: float) -> float:
+        # lhotse-style quadratic duration penalty: attention is O(T^2), so
+        # long cuts cost more than their length
+        if self.quadratic_duration:
+            return d + (d ** 2) / self.quadratic_duration
         return d
 
     def __len__(self):

@@ -17,7 +17,6 @@ TPU-first differences:
 
 import datetime as dt
 import logging
-from functools import partial
 from typing import List, Optional
 
 import jax
@@ -185,6 +184,47 @@ class InferencePipeline:
             "rtf_vocoder": t_vocoder / max(wav_seconds, 1e-9),
         }
         return final_wav, metrics
+
+    def generate_raw(
+        self,
+        prompt_text: str,
+        prompt_wav_path: str,
+        text: str,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        target_rms: float = 0.1,
+    ):
+        """Raw-evaluation path (reference infer_zipvoice.py:315-434): no
+        silence removal, no chunking, no crossfade — a single sample call,
+        for objective benchmark comparability."""
+        sr = self.sampling_rate
+        prompt_wav = load_wav(prompt_wav_path, sr)
+        prompt_wav, prompt_rms = rms_norm(prompt_wav, target_rms)
+        prompt_features = (
+            self.feature_extractor.extract(prompt_wav, sr) * self.feat_scale
+        )
+        tokens = self.tokenizer.texts_to_token_ids([text])[0]
+        prompt_tokens = self.tokenizer.texts_to_token_ids([prompt_text])[0]
+
+        start_t = dt.datetime.now()
+        feats, lens = self._sample_batch(
+            [tokens], prompt_tokens, prompt_features,
+            num_step=num_step, guidance_scale=guidance_scale,
+            speed=speed, t_shift=t_shift,
+        )
+        wavs = self._vocode_chunks([feats[0, : lens[0]]])
+        wav = wavs[0][None]
+        if prompt_rms < target_rms:
+            wav = wav * prompt_rms / target_rms
+        t = (dt.datetime.now() - start_t).total_seconds()
+        wav_seconds = wav.shape[-1] / sr
+        return wav, {
+            "t": t,
+            "wav_seconds": wav_seconds,
+            "rtf": t / max(wav_seconds, 1e-9),
+        }
 
     # --- internals ----------------------------------------------------------
 

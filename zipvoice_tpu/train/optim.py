@@ -51,12 +51,6 @@ def _is_scalar(p: jax.Array) -> bool:
     return p.size == 1
 
 
-def _tensor_rms(p: jax.Array) -> jax.Array:
-    return jnp.sqrt(jnp.mean(jnp.square(p), keepdims=True).reshape(
-        (1,) * p.ndim
-    )) if p.ndim else jnp.sqrt(jnp.square(p))
-
-
 def _rms_keepdims(p):
     if p.ndim == 0:
         return jnp.abs(p)
