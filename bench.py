@@ -112,7 +112,10 @@ def main():
         )
         x1_wo, wo_lens = strip_prompt(x1, padding_mask, pfl)
         wav = vocos.apply(vp, x1_wo / 0.1)  # undo feat_scale
-        return wav, wo_lens
+        # scalar checksum forces the full computation but keeps the
+        # device->host transfer tiny (the relay moves ~1 MB/s; shipping the
+        # 10 MB waveform would dominate the measurement)
+        return jnp.sum(jnp.abs(wav)), wo_lens
 
     fixed = (
         params, vp, jnp.asarray(tok), jnp.asarray(tok_lens),
@@ -120,10 +123,11 @@ def main():
     )
 
     t0 = time.perf_counter()
-    wav, wo_lens = pipeline(*fixed, jnp.asarray(
+    chk, wo_lens = pipeline(*fixed, jnp.asarray(
         rng.randn(B, T, F).astype(np.float32)))
-    _ = np.asarray(wav)
-    print(f"# warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
+    _ = float(chk)
+    print(f"# warmup (incl. compile): {time.perf_counter() - t0:.2f}s",
+          flush=True)
 
     noises = [
         jnp.asarray(rng.randn(B, T, F).astype(np.float32)) for _ in range(4)
@@ -131,9 +135,11 @@ def main():
     iter_times = []
     for nz in noises:
         t0 = time.perf_counter()
-        wav, wo_lens = pipeline(*fixed, nz)
-        _ = np.asarray(wav)
+        chk, wo_lens = pipeline(*fixed, nz)
+        _ = float(chk)
         iter_times.append(time.perf_counter() - t0)
+        print(f"# iter: {iter_times[-1]:.3f}s (chk {float(chk):.1f})",
+              flush=True)
     print(f"# iter times (batch {B}): {[round(t, 4) for t in iter_times]}")
     wall = sorted(iter_times)[len(iter_times) // 2]
 

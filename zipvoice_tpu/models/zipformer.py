@@ -34,7 +34,25 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from zipvoice_tpu.ops.scaling import bias_norm, swoosh_l, swoosh_r
+from zipvoice_tpu.ops.scaling import (
+    balancer,
+    bias_norm,
+    limit_param_value,
+    penalize_abs_values_gt,
+    swoosh_l,
+    swoosh_r,
+    whiten,
+)
+
+
+def _stochastic(module: nn.Module, prob: float, fn, x):
+    """Apply a backward-only (identity-forward) regularizer with
+    probability ``prob``, like the reference's per-call random gating
+    (e.g. scaling.py:655-657, zipformer.py:1254).  The forward value is
+    unchanged either way; jnp.where routes the cotangent through the
+    regularized path only when the coin lands.  Uses the 'reg' rng."""
+    apply = jax.random.bernoulli(module.make_rng("reg"), prob)
+    return jnp.where(apply, fn(x), x)
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +204,8 @@ class RelPosAttentionWeights(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, pos_emb, key_padding_mask=None):
+    def __call__(self, x, pos_emb, key_padding_mask=None,
+                 train: bool = False):
         h, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
         B, T, _ = x.shape
         proj = dense(
@@ -195,6 +214,15 @@ class RelPosAttentionWeights(nn.Module):
         )(x)
         q = proj[..., : h * qd].reshape(B, T, h, qd)
         k = proj[..., h * qd : 2 * h * qd].reshape(B, T, h, qd)
+        if train:
+            # balance_keys + whiten_keys (reference zipformer.py:1115-1138)
+            k = _stochastic(
+                self, 0.025,
+                lambda t: balancer(t, 0.4, 0.6, 0.0, 100.0, 0.04), k,
+            )
+            k = _stochastic(
+                self, 0.15, lambda t: whiten(t, h, 3.0, 0.025), k
+            )
         p = proj[..., 2 * h * qd :].reshape(B, T, h, pd)
 
         pe_proj = dense(
@@ -238,6 +266,14 @@ class RelPosAttentionWeights(nn.Module):
         )
         attn_scores = attn_scores + pos_scores
 
+        if train:
+            # failsafe score penalty (reference zipformer.py:1254-1269)
+            attn_scores = _stochastic(
+                self, 0.1,
+                lambda t: penalize_abs_values_gt(t, 25.0, 1.0e-04),
+                attn_scores,
+            )
+
         if key_padding_mask is not None:
             # -1000 (not -inf) so that fully-masked rows stay finite
             # (reference zipformer.py:1273-1289)
@@ -258,17 +294,23 @@ class SelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_weights):
+    def __call__(self, x, attn_weights, train: bool = False):
         B, T, _ = x.shape
         h, vd = self.num_heads, self.value_head_dim
         v = dense(h * vd, self.embed_dim, dtype=self.dtype, name="in_proj")(x)
         v = v.reshape(B, T, h, vd)
         out = jnp.einsum("bhts,bshd->bthd", attn_weights, v)
         out = out.reshape(B, T, h * vd)
-        return dense(
+        out = dense(
             self.embed_dim, h * vd, initial_scale=0.05, dtype=self.dtype,
             name="out_proj",
         )(out)
+        if train:
+            # whiten (reference zipformer.py:1352-1357)
+            out = _stochastic(
+                self, 0.15, lambda v: whiten(v, 1, 7.5, 0.01), out
+            )
+        return out
 
 
 class NonlinAttention(nn.Module):
@@ -282,20 +324,35 @@ class NonlinAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_weights_head0):
+    def __call__(self, x, attn_weights_head0, train: bool = False):
         # attn_weights_head0: (B, T, T)
         proj = dense(
             self.hidden_channels * 3, self.channels, dtype=self.dtype,
             name="in_proj",
         )(x)
         s, v, y = jnp.split(proj, 3, axis=-1)
+        if train:
+            # pre-tanh balancer (reference zipformer.py:1467-1474)
+            s = _stochastic(
+                self, 0.25,
+                lambda t: balancer(t, 0.05, 0.95, 0.5, 5.0, 0.04), s,
+            )
         v = v * jnp.tanh(s)
+        if train:
+            v = _stochastic(
+                self, 0.15, lambda t: whiten(t, 1, 5.0, 0.01), v
+            )
         v = jnp.einsum("bts,bsd->btd", attn_weights_head0, v)
         v = v * y
-        return dense(
+        v = dense(
             self.channels, self.hidden_channels, initial_scale=0.05,
             dtype=self.dtype, name="out_proj",
         )(v)
+        if train:
+            v = _stochastic(
+                self, 0.15, lambda t: whiten(t, 1, 5.0, 0.01), v
+            )
+        return v
 
 
 class FeedforwardModule(nn.Module):
@@ -310,6 +367,12 @@ class FeedforwardModule(nn.Module):
         x = dense(
             self.feedforward_dim, self.embed_dim, dtype=self.dtype, name="in_proj"
         )(x)
+        if train:
+            # hidden_balancer (reference zipformer.py:1406-1413)
+            x = _stochastic(
+                self, 0.25,
+                lambda v: balancer(v, 0.3, 1.0, 0.75, 5.0, 0.04), x,
+            )
         x = swoosh_l(x)
         if train and dropout_rate > 0.0:
             # shared along the time axis (reference dropout_shared_dim=0)
@@ -320,6 +383,11 @@ class FeedforwardModule(nn.Module):
             self.embed_dim, self.feedforward_dim, initial_scale=0.1,
             dtype=self.dtype, name="out_proj",
         )(x)
+        if train:
+            # out_whiten (reference zipformer.py:1426-1431)
+            x = _stochastic(
+                self, 0.15, lambda v: whiten(v, 1, 7.5, 0.01), x
+            )
         return x
 
 
@@ -331,10 +399,16 @@ class ConvolutionModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None):
+    def __call__(self, x, key_padding_mask=None, train: bool = False):
         C, k = self.channels, self.kernel_size
         proj = dense(2 * C, C, dtype=self.dtype, name="in_proj")(x)
         v, s = jnp.split(proj, 2, axis=-1)
+        if train:
+            # balancer1 before the sigmoid gate (reference :1589-1596)
+            s = _stochastic(
+                self, 0.25,
+                lambda t: balancer(t, 0.025, 1.0, 1.5, 10.0, 0.04), s,
+            )
         v = v * jax.nn.sigmoid(s)
         if key_padding_mask is not None:
             v = jnp.where(key_padding_mask[:, :, None], 0.0, v)
@@ -353,6 +427,16 @@ class ConvolutionModule(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=C,
         ) + b.astype(self.dtype)
+        if train:
+            # balancer2 + whiten after the depthwise conv (reference
+            # :1614-1628)
+            v = _stochastic(
+                self, 0.25,
+                lambda t: balancer(t, 0.05, 1.0, 0.5, 10.0, 0.04), v,
+            )
+            v = _stochastic(
+                self, 0.15, lambda t: whiten(t, 1, 7.5, 0.01), v
+            )
         v = swoosh_r(v)
         return dense(
             C, C, initial_scale=0.05, dtype=self.dtype, name="out_proj"
@@ -397,7 +481,7 @@ class ZipformerEncoderLayer(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas_attention,
             name="self_attn_weights",
-        )(src, pos_emb, key_padding_mask)
+        )(src, pos_emb, key_padding_mask, train=train)
 
         ff_kw = dict(train=train, dropout_rate=dropout_rate)
 
@@ -408,16 +492,23 @@ class ZipformerEncoderLayer(nn.Module):
             dtype=self.dtype, name="feed_forward1",
         )(src, **ff_kw)
 
-        src = src + NonlinAttention(
+        na = NonlinAttention(
             channels=d, hidden_channels=3 * d // 4, dtype=self.dtype,
             name="nonlin_attention",
-        )(src, attn_weights[:, 0])
+        )(src, attn_weights[:, 0], train=train)
+        if train:
+            # balancer_na (reference zipformer.py:416-423)
+            na = _stochastic(
+                self, 0.05,
+                lambda t: balancer(t, 0.3, 0.7, 0.02, 100.0, 0.04), na,
+            )
+        src = src + na
 
         src = src + SelfAttention(
             embed_dim=d, num_heads=self.num_heads,
             value_head_dim=self.value_head_dim, dtype=self.dtype,
             name="self_attn1",
-        )(src, attn_weights)
+        )(src, attn_weights, train=train)
 
         if self.use_conv:
             if time_emb is not None:
@@ -425,12 +516,19 @@ class ZipformerEncoderLayer(nn.Module):
             src = src + ConvolutionModule(
                 channels=d, kernel_size=self.cnn_module_kernel,
                 dtype=self.dtype, name="conv_module1",
-            )(src, key_padding_mask)
+            )(src, key_padding_mask, train=train)
 
-        src = src + FeedforwardModule(
+        ff2 = FeedforwardModule(
             embed_dim=d, feedforward_dim=self.feedforward_dim,
             dtype=self.dtype, name="feed_forward2",
         )(src, **ff_kw)
+        if train:
+            # balancer_ff2 (reference zipformer.py:428-436)
+            ff2 = _stochastic(
+                self, 0.05,
+                lambda t: balancer(t, 0.3, 0.7, 0.1, 2.0, 0.04), ff2,
+            )
+        src = src + ff2
 
         src = BypassModule(embed_dim=d, name="bypass_mid")(src_orig, src)
 
@@ -438,7 +536,7 @@ class ZipformerEncoderLayer(nn.Module):
             embed_dim=d, num_heads=self.num_heads,
             value_head_dim=self.value_head_dim, dtype=self.dtype,
             name="self_attn2",
-        )(src, attn_weights)
+        )(src, attn_weights, train=train)
 
         if self.use_conv:
             if time_emb is not None:
@@ -446,15 +544,37 @@ class ZipformerEncoderLayer(nn.Module):
             src = src + ConvolutionModule(
                 channels=d, kernel_size=self.cnn_module_kernel,
                 dtype=self.dtype, name="conv_module2",
-            )(src, key_padding_mask)
+            )(src, key_padding_mask, train=train)
 
-        src = src + FeedforwardModule(
+        ff3 = FeedforwardModule(
             embed_dim=d, feedforward_dim=(self.feedforward_dim * 5) // 4,
             dtype=self.dtype, name="feed_forward3",
         )(src, **ff_kw)
+        if train:
+            # balancer_ff3 (reference zipformer.py:438-446)
+            ff3 = _stochastic(
+                self, 0.05,
+                lambda t: balancer(t, 0.3, 0.7, 0.2, 4.0, 0.04), ff3,
+            )
+        src = src + ff3
 
+        if train:
+            # balancer1 (reference zipformer.py:406-413)
+            src = _stochastic(
+                self, 0.25,
+                lambda t: balancer(t, 0.45, 0.55, 0.2, 4.0, 0.04), src,
+            )
         src = BiasNorm(num_channels=d, name="norm")(src)
         src = BypassModule(embed_dim=d, name="bypass")(src_orig, src)
+        if train:
+            # balancer2 + whiten (reference zipformer.py:448-462,640)
+            src = _stochastic(
+                self, 0.25,
+                lambda t: balancer(t, 0.45, 0.55, 0.1, 4.0, 0.04), src,
+            )
+            src = _stochastic(
+                self, 0.15, lambda t: whiten(t, 1, 4.0, 0.01), src
+            )
         return src
 
 

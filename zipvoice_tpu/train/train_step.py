@@ -51,7 +51,9 @@ def make_train_step(
     def step_fn(state: TrainState, batch, rng):
         B, T, F = batch["features"].shape
         rng = jax.random.fold_in(rng, state.step)
-        k_t, k_noise, k_mask, k_drop, k_dropout = jax.random.split(rng, 5)
+        k_t, k_noise, k_mask, k_drop, k_dropout, k_reg = jax.random.split(
+            rng, 6
+        )
         t = jax.random.uniform(k_t, (B, 1, 1))
         noise = jax.random.normal(k_noise, (B, T, F))
         cond_drop = jax.random.uniform(k_drop, (B,)) <= condition_drop_ratio
@@ -69,7 +71,7 @@ def make_train_step(
                 rng=k_mask,
                 train=True,
                 dropout_rate=dropout_rate,
-                rngs={"dropout": k_dropout},
+                rngs={"dropout": k_dropout, "reg": k_reg},
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
