@@ -96,6 +96,83 @@ def convert_tts_zipformer(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return tree
 
 
+def _flatten(tree: Dict[str, Any], prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def invert_zipformer_tree(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Flax TTSZipformer params -> reference torch state_dict keys (the
+    inverse of convert_tts_zipformer; used to export trained models in the
+    reference's .pt layout)."""
+    out: Dict[str, Any] = {}
+    for path, v in _flatten(tree):
+        k = ".".join(path)
+        v = np.asarray(v, dtype=np.float32)
+        # undo structural renames (reverse order of translate_zipformer_key)
+        k = k.replace(".time_emb_proj.", ".time_emb.1.")
+        k = re.sub(r"\b(in_proj|out_proj)_([01])\.", r"\1.\2.", k)
+        if k.endswith(".downsample_bias"):
+            k = k.replace(".downsample_bias", ".downsample.bias")
+        m = re.match(r"encoders_(\d+)\.(.*)", k)
+        if m:
+            idx, rest = m.groups()
+            if rest.startswith("encoder.") and ".downsample" not in k:
+                # non-downsampled stacks have no .encoder scope in torch —
+                # but we cannot know ds here; keep .encoder and fix below
+                pass
+            k = f"encoders.{idx}.{rest}"
+        k = re.sub(r"\blayers_(\d+)\.", r"layers.\1.", k)
+        k = k.replace("time_embed_in.", "time_embed.0.")
+        k = k.replace("time_embed_out.", "time_embed.2.")
+        if k.endswith("depthwise_weight"):
+            k = k.replace("depthwise_weight", "depthwise_conv.weight")
+            v = v.T[:, None, :]  # (k, C) -> (C, 1, k)
+        elif k.endswith("depthwise_bias"):
+            k = k.replace("depthwise_bias", "depthwise_conv.bias")
+        elif k.endswith(".kernel"):
+            k = k[: -len(".kernel")] + ".weight"
+            v = v.T
+        out[prefix + k] = v
+    return out
+
+
+def invert_zipvoice(params: Dict[str, Any], downsampling_factors=None
+                    ) -> Dict[str, Any]:
+    """Full model flax params -> reference torch state_dict (numpy values).
+
+    ``downsampling_factors``: dict like {"fm_decoder": (1,2,4,2,1),
+    "text_encoder": (1,)} used to drop the ``.encoder`` scope for
+    non-downsampled stacks (the reference nests it only when ds>1).
+    """
+    out: Dict[str, Any] = {}
+    for name in ("fm_decoder", "text_encoder"):
+        if name not in params:
+            continue
+        sub = invert_zipformer_tree(params[name], prefix=name + ".")
+        ds = (downsampling_factors or {}).get(name)
+        fixed = {}
+        for k, v in sub.items():
+            if ds is not None:
+                m = re.match(rf"{name}\.encoders\.(\d+)\.encoder\.(.*)", k)
+                if m and ds[int(m.group(1))] == 1:
+                    k = f"{name}.encoders.{m.group(1)}.{m.group(2)}"
+            fixed[k] = v
+        out.update(fixed)
+    if "embed" in params:
+        out["embed.weight"] = np.asarray(
+            params["embed"]["embedding"], np.float32
+        )
+    if "spk_embed" in params:
+        out["spk_embed.weight"] = np.asarray(
+            params["spk_embed"]["embedding"], np.float32
+        )
+    return out
+
+
 def convert_zipvoice(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Convert a full reference ZipVoice/ZipVoiceDistill/ZipVoiceDialog
     state_dict (reference zipvoice/models/zipvoice.py:95-133) to flax params."""
