@@ -294,10 +294,24 @@ def main():
 
     mesh = make_mesh(n_data=args.num_data_parallel)
     logging.info(f"mesh: {mesh}")
+    stereo = args.model_name == "zipvoice_dialog_stereo"
     train_step = make_train_step(
         model, tx, condition_drop_ratio=args.condition_drop_ratio,
         dropout_rate=args.dropout_rate, mesh=mesh,
+        model_kwargs={"se_weight": 1.0} if stereo else None,
     )
+    if stereo:
+        # alternate with the mixed single-channel objective
+        # (reference train_zipvoice_dialog_stereo.py:349-378)
+        train_step_mixed = make_train_step(
+            model, tx, condition_drop_ratio=args.condition_drop_ratio,
+            dropout_rate=args.dropout_rate, mesh=mesh,
+            model_kwargs={"se_weight": 0.0},
+        )
+        dataset_mixed = SpeechSynthesisDataset(
+            tokenizer=tokenizer, on_the_fly_feats=args.on_the_fly_feats,
+            feat_scale=args.feat_scale, num_channels=1,
+        )
     eval_step = make_eval_step(model)
 
     state = init_train_state(params, tx)
@@ -337,14 +351,25 @@ def main():
 
     for epoch in range(start_epoch, args.num_epochs + 1):
         sampler.set_epoch(epoch)
-        for batch in prefetch_batches(sampler, dataset):
+        if stereo:
+            # alternate stereo (se_weight=1) and mixed (se_weight=0) batches
+            batch_iter = (
+                ((dataset_mixed if i % 2 else dataset)(cuts), bool(i % 2))
+                for i, cuts in enumerate(sampler)
+            )
+        else:
+            batch_iter = (
+                (b, False) for b in prefetch_batches(sampler, dataset)
+            )
+        for batch, use_mixed in batch_iter:
             sharded = shard_batch(
                 {k: v for k, v in batch.items()
                  if k in ("tokens", "tokens_lens", "features", "features_lens")},
                 mesh,
             )
+            step_fn = train_step_mixed if use_mixed else train_step
             try:
-                state, metrics = train_step(state, sharded, step_rng)
+                state, metrics = step_fn(state, sharded, step_rng)
                 step = int(state.step)
                 loss = float(metrics["loss"])
                 if args.inf_check and not np.isfinite(loss):

@@ -257,13 +257,18 @@ class RelPosAttentionWeights(nn.Module):
         pe = pe_proj(pos_emb).reshape(2 * T - 1, h, pd)
         pos_scores = jnp.einsum("bthd,nhd->bhtn", p, pe)
         # abs_score[i, j] = rel_score[i, (j - i) + T - 1]
-        # (defined by the reference's as_strided at zipformer.py:1239-1248)
-        rel_idx = (
-            jnp.arange(T)[None, :] - jnp.arange(T)[:, None] + (T - 1)
-        )  # (T_tgt, T_src)
-        pos_scores = jnp.take_along_axis(
-            pos_scores, rel_idx[None, None, :, :], axis=-1
+        # (defined by the reference's as_strided at zipformer.py:1239-1248).
+        # Realized gather-free via the skew trick: pad one column, flatten,
+        # shift by T-1, restride — element (i, j) of the result reads flat
+        # index (T-1) + i*(2T-1) + j, which is exactly rel index j-i+T-1 of
+        # row i.  Pure pad/reshape/slice, so XLA lowers it to data movement
+        # instead of a (slow) per-element gather.
+        padded = jnp.pad(pos_scores, ((0, 0), (0, 0), (0, 0), (0, 1)))
+        flat = padded.reshape(B, h, 2 * T * T)
+        flat = jax.lax.slice_in_dim(
+            flat, T - 1, T - 1 + T * (2 * T - 1), axis=-1
         )
+        pos_scores = flat.reshape(B, h, T, 2 * T - 1)[..., :T]
         attn_scores = attn_scores + pos_scores
 
         if train:

@@ -37,6 +37,7 @@ def make_train_step(
     condition_drop_ratio: float = 0.2,
     dropout_rate: float = 0.1,
     mesh=None,
+    model_kwargs: Optional[dict] = None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -72,6 +73,7 @@ def make_train_step(
                 train=True,
                 dropout_rate=dropout_rate,
                 rngs={"dropout": k_dropout, "reg": k_reg},
+                **(model_kwargs or {}),
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
