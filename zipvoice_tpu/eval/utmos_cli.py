@@ -33,13 +33,12 @@ def main():
     try:
         model = torch.jit.load(args.utmos_model_path, map_location="cpu")
     except Exception:
-        import sys
-
-        sys.path.insert(0, "/root/reference")
-        from zipvoice.eval.models.utmos import UTMOS22Strong
+        from zipvoice_tpu.eval.utmos_model import UTMOS22Strong
 
         model = UTMOS22Strong()
         sd = torch.load(args.utmos_model_path, map_location="cpu")
+        if "model" in sd:
+            sd = sd["model"]
         model.load_state_dict(sd)
     model.eval()
 

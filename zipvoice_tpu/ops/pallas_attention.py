@@ -3,17 +3,19 @@
 Computes softmax(q@k^T + rel2abs(p@pe^T) + mask) in one VMEM-resident pass.
 
 The XLA fallback (models/zipformer.py RelPosAttentionWeights) materializes
-pos_scores (B, h, T, 2T-1) in HBM, gathers it to (B, h, T, T), adds, masks,
+pos_scores (B, h, T, 2T-1) in HBM, skews it to (B, h, T, T), adds, masks,
 and softmaxes — several HBM round trips over O(T^2) tensors.  This kernel
 keeps everything for a 128-row query tile in VMEM:
 
   grid = (B*h, T/128): per tile
-    - qk    = q_tile (128, qd) @ k^T (qd, T)            [MXU]
-    - pos   = p_tile (128, pd) @ pe^T (pd, 2T-1)        [MXU]
-    - skew: row r of the output takes pos[r, T-1-r : 2T-1-r]
-      (the reference's as_strided rel->abs conversion,
-      zipformer.py:1239-1248), realized as 128 VMEM dynamic slices
-    - mask fill -1000, row softmax                       [VPU]
+    - qk  = q_tile (128, qd) @ k^T (qd, T)                     [MXU]
+    - pos = p_tile (128, pd) @ pe^T (pd, 2T-1)                 [MXU]
+    - rel->abs skew (reference zipformer.py:1239-1248:
+      out[r, j] = pos[r, (T-1-row) + j]): one dynamic-slice window of
+      width T+127 shared by the tile, then per-row left-shift by
+      (127 - r) realized as 7 bit-decomposed pltpu.rolls with row masks —
+      no per-row gathers or loops, so Mosaic compiles it flat   [VPU]
+    - mask fill -1000, row softmax                              [VPU]
 
 Used by RelPosAttentionWeights(use_pallas=True); numerics validated against
 the jnp path in tests/test_pallas_attention.py (interpret mode on CPU).
@@ -31,30 +33,36 @@ ROW_TILE = 128
 
 def _attn_weights_kernel(q_ref, k_ref, p_ref, pe_ref, mask_ref, out_ref):
     # blocks carry a leading singleton (batch*head) dim:
-    # q_ref: (1, ROW_TILE, qd); k_ref: (1, T, qd); p_ref: (1, ROW_TILE, pd)
-    # pe_ref: (1, 2T-1, pd); mask_ref: (1, T) bool; out_ref: (1, ROW_TILE, T)
+    # q_ref: (1, R, qd); k_ref: (1, T, qd); p_ref: (1, R, pd)
+    # pe_ref: (1, 2T-1, pd); mask_ref: (1, T) bool; out_ref: (1, R, T)
     i = pl.program_id(1)
     T = k_ref.shape[1]
+    R = ROW_TILE
 
     qk = jnp.dot(
         q_ref[0], k_ref[0].T, preferred_element_type=jnp.float32
-    )  # (ROW_TILE, T)
+    )  # (R, T)
     pos_full = jnp.dot(
         p_ref[0], pe_ref[0].T, preferred_element_type=jnp.float32
-    )  # (ROW_TILE, 2T-1)
+    )  # (R, 2T-1)
 
-    row_base = i * ROW_TILE
+    # window shared by the tile: rowwin[r, c] = pos_full[r, start0-(R-1)+c]
+    # with start0 = T-1-row_base; then out[r, j] = rowwin[r, (R-1-r)+j]
+    row_base = i * R
+    start = (T - 1 - row_base) - (R - 1)  # >= 0 for any valid tile
+    rowwin = jax.lax.dynamic_slice(pos_full, (0, start), (R, T + R - 1))
 
-    def body(r, scores):
-        # absolute row index; slice [T-1-row : 2T-1-row]
-        row = row_base + r
-        start = T - 1 - row
-        sl = jax.lax.dynamic_slice(pos_full, (r, start), (1, T))
-        return jax.lax.dynamic_update_slice(scores, sl, (r, 0))
-
-    pos = jax.lax.fori_loop(
-        0, ROW_TILE, body, jnp.zeros((ROW_TILE, T), jnp.float32)
-    )
+    # per-row left shift by (R-1-r), bit-decomposed into static rolls
+    # (pltpu.roll wants non-negative shifts: left-by-b == right-by-(W-b))
+    W = T + R - 1
+    shift = (R - 1) - jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    x = rowwin
+    b = 1
+    while b < R:
+        rolled = pltpu.roll(x, W - b, axis=1)
+        x = jnp.where((shift & b) != 0, rolled, x)
+        b *= 2
+    pos = x[:, :T]
 
     scores = qk + pos
     scores = jnp.where(mask_ref[0, :][None, :], -1000.0, scores)
@@ -73,6 +81,10 @@ def rel_pos_attention_weights(
     key_padding_mask: jax.Array,
     interpret: bool = None,
 ) -> jax.Array:
+    """q, k: (B, h, T, qd); p: (B, h, T, pd); pe: (h, 2T-1, pd)
+    (head-projected positional table); key_padding_mask: (B, T) bool.
+    Returns (B, h, T, T) softmaxed weights.
+    """
     if interpret is None:
         # pallas has no compiled CPU path; interpret there (tests)
         interpret = jax.default_backend() == "cpu"
@@ -90,10 +102,6 @@ def _rel_pos_attention_weights(
     key_padding_mask: jax.Array,
     interpret: bool = False,
 ) -> jax.Array:
-    """q, k: (B, h, T, qd); p: (B, h, T, pd); pe: (h, 2T-1, pd)
-    (head-projected positional table); key_padding_mask: (B, T) bool.
-    Returns (B, h, T, T) softmaxed weights.
-    """
     B, h, T, qd = q.shape
     pd = p.shape[-1]
     assert T % ROW_TILE == 0, (T, ROW_TILE)
