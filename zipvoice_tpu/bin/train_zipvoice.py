@@ -150,6 +150,10 @@ def main():
 
     import jax
 
+    from zipvoice_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     if args.coordinator_address:

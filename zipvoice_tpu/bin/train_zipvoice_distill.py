@@ -41,6 +41,10 @@ def main():
 
     import jax
 
+    from zipvoice_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

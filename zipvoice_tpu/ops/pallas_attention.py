@@ -34,7 +34,7 @@ ROW_TILE = 128
 def _attn_weights_kernel(q_ref, k_ref, p_ref, pe_ref, mask_ref, out_ref):
     # blocks carry a leading singleton (batch*head) dim:
     # q_ref: (1, R, qd); k_ref: (1, T, qd); p_ref: (1, R, pd)
-    # pe_ref: (1, 2T-1, pd); mask_ref: (1, T) bool; out_ref: (1, R, T)
+    # pe_ref: (1, 2T-1, pd); mask_ref: (1, 1, T) bool; out_ref: (1, R, T)
     i = pl.program_id(1)
     T = k_ref.shape[1]
     R = ROW_TILE
@@ -46,26 +46,28 @@ def _attn_weights_kernel(q_ref, k_ref, p_ref, pe_ref, mask_ref, out_ref):
         p_ref[0], pe_ref[0].T, preferred_element_type=jnp.float32
     )  # (R, 2T-1)
 
-    # window shared by the tile: rowwin[r, c] = pos_full[r, start0-(R-1)+c]
-    # with start0 = T-1-row_base; then out[r, j] = rowwin[r, (R-1-r)+j]
+    # rel->abs: out[r, j] = pos_full[r, s_r + j] with
+    # s_r = (T-1) - (row_base + r) in [0, T-1].  Realized as a per-row
+    # circular left shift by s_r, bit-decomposed into static-amount rolls
+    # gated by per-row masks (Mosaic supports neither value dynamic_slice
+    # nor per-row shifts directly; it does support full-tile rolls).
+    # Reads stay in [s_r, s_r+T) ⊂ [0, 2T-1): no wraparound corruption.
     row_base = i * R
-    start = (T - 1 - row_base) - (R - 1)  # >= 0 for any valid tile
-    rowwin = jax.lax.dynamic_slice(pos_full, (0, start), (R, T + R - 1))
-
-    # per-row left shift by (R-1-r), bit-decomposed into static rolls
-    # (pltpu.roll wants non-negative shifts: left-by-b == right-by-(W-b))
-    W = T + R - 1
-    shift = (R - 1) - jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    x = rowwin
+    W = 2 * T - 1
+    shift = (T - 1 - row_base) - jax.lax.broadcasted_iota(
+        jnp.int32, (R, 1), 0
+    )
+    x = pos_full
     b = 1
-    while b < R:
+    while b < T:
+        # left-by-b == right-by-(W-b); pltpu.roll wants non-negative shifts
         rolled = pltpu.roll(x, W - b, axis=1)
         x = jnp.where((shift & b) != 0, rolled, x)
         b *= 2
     pos = x[:, :T]
 
     scores = qk + pos
-    scores = jnp.where(mask_ref[0, :][None, :], -1000.0, scores)
+    scores = jnp.where(mask_ref[0, 0, :][None, :], -1000.0, scores)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     out_ref[0] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
@@ -113,7 +115,7 @@ def _rel_pos_attention_weights(
     pef = jnp.broadcast_to(pe[None], (B, h, 2 * T - 1, pd)).reshape(
         B * h, 2 * T - 1, pd
     ).astype(jnp.float32)
-    maskf = jnp.repeat(key_padding_mask, h, axis=0)  # (B*h, T)
+    maskf = jnp.repeat(key_padding_mask, h, axis=0)[:, None, :]  # (B*h, 1, T)
 
     grid = (B * h, n_tiles)
     out = pl.pallas_call(
@@ -136,7 +138,7 @@ def _rel_pos_attention_weights(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, T), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+                (1, 1, T), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
