@@ -48,6 +48,10 @@ def get_parser():
     p.add_argument("--max-len", type=float, default=30.0)
     # optimization (reference train_zipvoice.py defaults)
     p.add_argument("--base-lr", type=float, default=0.02)
+    p.add_argument("--scheduler", type=str, default="eden",
+                   choices=["eden", "fixed"],
+                   help="fixed = constant base-lr (the reference "
+                        "FixedLRScheduler, used for finetuning)")
     p.add_argument("--lr-batches", type=float, default=7500)
     p.add_argument("--lr-epochs", type=float, default=10)
     p.add_argument("--lr-hours", type=float, default=0,
@@ -289,11 +293,15 @@ def main():
         batches_per_epoch = args.lr_hours / (
             hours_per_epoch / batches_per_epoch
         )
-    schedule = eden_schedule(
-        base_lr=args.base_lr, lr_batches=args.lr_batches,
-        lr_epochs=args.lr_epochs, warmup_batches=args.warmup_batches,
-        batches_per_epoch=batches_per_epoch,
-    )
+    if args.scheduler == "fixed":
+        # reference FixedLRScheduler (lr_scheduler.py:187-204), for finetune
+        schedule = lambda step: args.base_lr  # noqa: E731
+    else:
+        schedule = eden_schedule(
+            base_lr=args.base_lr, lr_batches=args.lr_batches,
+            lr_epochs=args.lr_epochs, warmup_batches=args.warmup_batches,
+            batches_per_epoch=batches_per_epoch,
+        )
     tx = scaled_adam(lr=schedule, clipping_scale=args.clipping_scale)
 
     mesh = make_mesh(n_data=args.num_data_parallel)
