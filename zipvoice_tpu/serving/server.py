@@ -232,6 +232,9 @@ def main():
     p.add_argument("--num-step", type=int, default=4)
     p.add_argument("--guidance-scale", type=float, default=3.0)
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile common (batch, token, frame) buckets "
+                        "before accepting traffic (AOT engine warm)")
     p.add_argument("--platform", type=str, default=None, choices=[None, "cpu"])
     p.add_argument("--bf16", action="store_true", default=True)
     args = p.parse_args()
@@ -260,6 +263,23 @@ def main():
         pipeline, max_batch=args.max_batch, num_step=args.num_step,
         guidance_scale=args.guidance_scale,
     )
+    if args.warmup:
+        import numpy as np
+
+        logging.info("warming compile cache over common buckets...")
+        rngw = np.random.RandomState(0)
+        prompt_tokens = [1, 2, 3, 4]
+        feats = (rngw.randn(200, model.feat_dim) * 0.1).astype(np.float32)
+        for nb in (1, args.max_batch):
+            for ntok in (24, 96):
+                toks = [list(rngw.randint(1, model.vocab_size, ntok))
+                        for _ in range(nb)]
+                pipeline._sample_batch(
+                    toks, prompt_tokens, feats, num_step=args.num_step,
+                    guidance_scale=args.guidance_scale, speed=1.0,
+                    t_shift=0.5,
+                )
+        logging.info("warmup done")
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
     logging.info(f"serving on :{args.port}")
     server.serve_forever()
