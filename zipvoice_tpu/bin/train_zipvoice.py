@@ -94,6 +94,9 @@ def get_parser():
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--inf-check", action="store_true",
                    help="assert finite loss/grads every step")
+    p.add_argument("--print-diagnostics", action="store_true",
+                   help="dump per-module activation statistics for one "
+                        "batch and exit (reference --print-diagnostics)")
     return p
 
 
@@ -285,6 +288,27 @@ def main():
         )["params"]
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logging.info(f"model parameters: {n_params / 1e6:.1f}M")
+
+    if args.print_diagnostics:
+        from zipvoice_tpu.utils.diagnostics import (
+            collect_module_stats,
+            format_stats,
+        )
+
+        B_, T_, F_ = sample_batch["features"].shape
+        stats = collect_module_stats(
+            model, {"params": params},
+            tokens=jnp.asarray(sample_batch["tokens"]),
+            tokens_lens=jnp.asarray(sample_batch["tokens_lens"]),
+            features=jnp.asarray(sample_batch["features"]),
+            features_lens=jnp.asarray(sample_batch["features_lens"]),
+            noise=jnp.zeros((B_, T_, F_)),
+            t=jnp.full((B_, 1, 1), 0.5),
+            rng=jax.random.PRNGKey(0),
+            train=False,
+        )
+        print(format_stats(stats))
+        return
 
     hours_per_epoch = sum(c.duration for c in cuts) / 3600
     batches_per_epoch = max(1, len(sampler))
