@@ -147,8 +147,11 @@ def compact_rel_pos_encoding(
     cosines = jnp.cos(x_atan * freqs)
     sines = jnp.sin(x_atan * freqs)
     # interleave: pe[:, 0::2] = cos, pe[:, 1::2] = sin, then pe[:, -1] = 1.0
+    # (built by concatenation — .at[].set would lower to a scatter)
     pe = jnp.stack([cosines, sines], axis=-1).reshape(2 * T - 1, pos_dim)
-    pe = pe.at[:, -1].set(1.0)
+    pe = jnp.concatenate(
+        [pe[:, :-1], jnp.ones((2 * T - 1, 1), pe.dtype)], axis=1
+    )
     return pe
 
 
