@@ -24,6 +24,9 @@ def main():
     p.add_argument("--num-jobs", type=int, default=8)
     p.add_argument("--num-channels", type=int, default=1, choices=[1, 2])
     p.add_argument("--sampling-rate", type=int, default=24000)
+    p.add_argument("--codec", type=str, default="fz", choices=["fz", "npy"],
+                   help="fz = native int16 codec (2x smaller, the lilcom "
+                        "role); npy = raw float32")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -35,12 +38,18 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     extractor = VocosFbank(num_channels=args.num_channels)
 
+    from zipvoice_tpu.data.featio import save_feats
+
     def process(cut):
         try:
             wav = cut.load_audio(args.sampling_rate)
             feats = extractor.extract(wav, args.sampling_rate)
-            path = out / f"{cut.id}.npy"
-            np.save(path, feats.astype(np.float32))
+            if args.codec == "fz":
+                path = out / f"{cut.id}.fz"
+                save_feats(str(path), feats.astype(np.float32))
+            else:
+                path = out / f"{cut.id}.npy"
+                np.save(path, feats.astype(np.float32))
             cut.features = str(path)
             cut.num_frames = feats.shape[0]
             return cut

@@ -60,9 +60,13 @@ class Cut:
         )
 
     def load_features(self):
+        assert self.features is not None, self.id
+        if self.features.endswith(".fz"):
+            from zipvoice_tpu.data.featio import load_feats
+
+            return load_feats(self.features)
         import numpy as np
 
-        assert self.features is not None, self.id
         return np.load(self.features)
 
     def load_audio(self, target_sr: int = 24000):
