@@ -28,6 +28,11 @@ def main():
                    help="fz = native int16 codec (2x smaller, the lilcom "
                         "role); npy = raw float32")
     args = p.parse_args()
+
+    # host-side prep: never touch the accelerator
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     logging.basicConfig(level=logging.INFO)
 
     from zipvoice_tpu.data.manifest import read_manifest, write_manifest
@@ -60,6 +65,10 @@ def main():
     with ThreadPoolExecutor(args.num_jobs) as ex:
         done = [c for c in ex.map(process, cuts) if c is not None]
 
+    if cuts and not done:
+        raise RuntimeError(
+            "feature extraction failed for every cut; manifest left untouched"
+        )
     write_manifest(args.manifest, done)
     logging.info(f"computed features for {len(done)}/{len(cuts)} cuts")
 

@@ -37,6 +37,11 @@ def main():
     p.add_argument("--num-jobs", type=int, default=8)
     p.add_argument("--output-dir", type=str, required=True)
     args = p.parse_args()
+
+    # host-side prep: never touch the accelerator
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     logging.basicConfig(level=logging.INFO)
 
     from zipvoice_tpu.data.manifest import Cut, write_manifest

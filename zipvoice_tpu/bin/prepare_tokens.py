@@ -16,6 +16,11 @@ def main():
     p.add_argument("--tokenizer", type=str, default="emilia")
     p.add_argument("--lang", type=str, default="en-us")
     args = p.parse_args()
+
+    # host-side prep: never touch the accelerator
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     logging.basicConfig(level=logging.INFO)
 
     from zipvoice_tpu.data.manifest import read_manifest, write_manifest

@@ -64,14 +64,19 @@ class VocosFbank:
         else:
             assert samples.shape[0] == 2, samples.shape
 
-        mel = log_mel_spectrogram(
-            jnp.asarray(samples),
-            n_fft=cfg.n_fft,
-            hop=cfg.hop_length,
-            n_mels=cfg.n_mels,
-            sample_rate=cfg.sampling_rate,
-        )
-        mel = np.asarray(mel)  # (C, T, n_mels)
+        # host-side prep: pin to the CPU backend so data workers never
+        # dispatch tiny per-utterance programs to the accelerator
+        import jax
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            mel = log_mel_spectrogram(
+                jnp.asarray(samples),
+                n_fft=cfg.n_fft,
+                hop=cfg.hop_length,
+                n_mels=cfg.n_mels,
+                sample_rate=cfg.sampling_rate,
+            )
+            mel = np.asarray(mel)  # (C, T, n_mels)
         # (T, C*n_mels) matching the reference's reshape(-1, T).t()
         mel = np.concatenate([mel[c] for c in range(mel.shape[0])], axis=-1)
 
