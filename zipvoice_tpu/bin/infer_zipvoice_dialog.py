@@ -30,7 +30,11 @@ def get_parser():
     p.add_argument("--prompt-wav-2", type=str, default=None)
     p.add_argument("--merged-prompt", action="store_true",
                    help="prompt-1 is a pre-merged [S1]..[S2].. prompt")
-    p.add_argument("--text", type=str, required=True)
+    p.add_argument("--text", type=str, default=None)
+    p.add_argument("--test-list", type=str, default=None,
+                   help="tsv rows: name\tptext\tpwav\ttext (merged prompt) "
+                        "or name\tptext1\tptext2\tpwav1\tpwav2\ttext")
+    p.add_argument("--res-dir", type=str, default="results")
     p.add_argument("--res-wav-path", type=str, default="out.wav")
     p.add_argument("--num-step", type=int, default=16)
     p.add_argument("--guidance-scale", type=float, default=1.5)
@@ -72,39 +76,62 @@ def main():
     if args.vocoder_path is None:
         logging.warning("randomly-initialized vocoder: output will be noise")
 
-    if args.merged_prompt or args.prompt_wav_2 is None:
-        prompt_text = args.prompt_text_1
-        prompt_wav = args.prompt_wav_1
-    else:
-        prompt_text = [args.prompt_text_1, args.prompt_text_2]
-        prompt_wav = [args.prompt_wav_1, args.prompt_wav_2]
+    jobs = []
+    if args.test_list:
+        # reference test-list formats (infer_zipvoice_dialog.py:1072-1089)
+        import os
 
-    kw = dict(
-        prompt_text=prompt_text,
-        prompt_wav_path=prompt_wav,
-        text=args.text,
-        num_step=args.num_step,
-        guidance_scale=args.guidance_scale,
-        speed=args.speed,
-        t_shift=args.t_shift,
-        target_rms=args.target_rms,
-    )
+        os.makedirs(args.res_dir, exist_ok=True)
+        with open(args.test_list) as f:
+            for line in f:
+                items = line.strip().split("\t")
+                if len(items) == 6:
+                    name, pt1, pt2, pw1, pw2, text = items
+                    jobs.append((os.path.join(args.res_dir, name + ".wav"),
+                                 [pt1, pt2], [pw1, pw2], text))
+                elif len(items) == 4:
+                    name, pt, pw, text = items
+                    jobs.append((os.path.join(args.res_dir, name + ".wav"),
+                                 pt, pw, text))
+                else:
+                    raise ValueError(f"invalid test-list line: {line!r}")
+    else:
+        assert args.text is not None, "--text or --test-list required"
+        if args.merged_prompt or args.prompt_wav_2 is None:
+            prompt_text = args.prompt_text_1
+            prompt_wav = args.prompt_wav_1
+        else:
+            prompt_text = [args.prompt_text_1, args.prompt_text_2]
+            prompt_wav = [args.prompt_wav_1, args.prompt_wav_2]
+        jobs.append((args.res_wav_path, prompt_text, prompt_wav, args.text))
+
     if args.model_name == "zipvoice_dialog_stereo":
         pipe = StereoDialogInferencePipeline(
             model, params, vocoder, vp, tokenizer, seed=args.seed
         )
-        wav, metrics = pipe.generate_dialog_stereo(**kw)
+        generate = pipe.generate_dialog_stereo
     else:
         pipe = DialogInferencePipeline(
             model, params, vocoder, vp, tokenizer, seed=args.seed
         )
-        wav, metrics = pipe.generate_dialog(**kw)
+        generate = pipe.generate_dialog
 
-    save_wav(args.res_wav_path, wav, pipe.sampling_rate)
-    logging.info(
-        f"{args.res_wav_path}: {metrics['wav_seconds']:.2f}s audio, "
-        f"rtf {metrics['rtf']:.4f}"
-    )
+    for save_path, prompt_text, prompt_wav, text in jobs:
+        wav, metrics = generate(
+            prompt_text=prompt_text,
+            prompt_wav_path=prompt_wav,
+            text=text,
+            num_step=args.num_step,
+            guidance_scale=args.guidance_scale,
+            speed=args.speed,
+            t_shift=args.t_shift,
+            target_rms=args.target_rms,
+        )
+        save_wav(save_path, wav, pipe.sampling_rate)
+        logging.info(
+            f"{save_path}: {metrics['wav_seconds']:.2f}s audio, "
+            f"rtf {metrics['rtf']:.4f}"
+        )
 
 
 if __name__ == "__main__":
