@@ -275,17 +275,21 @@ def main():
         params = convert_zipvoice(sd)
         logging.info(f"initialized from torch checkpoint {args.checkpoint}")
     else:
-        params = model.init(
-            {"params": rng},
-            tokens=jnp.asarray(sample_batch["tokens"]),
-            tokens_lens=jnp.asarray(sample_batch["tokens_lens"]),
-            features=jnp.asarray(sample_batch["features"]),
-            features_lens=jnp.asarray(sample_batch["features_lens"]),
-            noise=jnp.zeros((B, T, F)),
-            t=jnp.full((B, 1, 1), 0.5),
-            rng=jax.random.PRNGKey(0),
-            train=False,
-        )["params"]
+        # initialize on the host CPU backend (exact initializers, no
+        # accelerator compile), then transfer
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            params = model.init(
+                {"params": rng},
+                tokens=jnp.asarray(sample_batch["tokens"]),
+                tokens_lens=jnp.asarray(sample_batch["tokens_lens"]),
+                features=jnp.asarray(sample_batch["features"]),
+                features_lens=jnp.asarray(sample_batch["features_lens"]),
+                noise=jnp.zeros((B, T, F)),
+                t=jnp.full((B, 1, 1), 0.5),
+                rng=jax.random.PRNGKey(0),
+                train=False,
+            )["params"]
+        params = jax.device_get(params)
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logging.info(f"model parameters: {n_params / 1e6:.1f}M")
 
