@@ -94,6 +94,10 @@ def get_parser():
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--inf-check", action="store_true",
                    help="assert finite loss/grads every step")
+    p.add_argument("--scan-oom", action="store_true",
+                   help="before training, run one step on the largest "
+                        "bucket shape to surface OOM early (reference "
+                        "--scan-oom, train_zipvoice.py:798-848)")
     p.add_argument("--print-diagnostics", action="store_true",
                    help="dump per-module activation statistics for one "
                         "batch and exit (reference --print-diagnostics)")
@@ -373,6 +377,28 @@ def main():
         opt_state=replicate_tree(state.opt_state, mesh),
         step=replicate_tree(state.step, mesh),
     )
+
+    if args.scan_oom:
+        # pessimistic-shape probe: biggest frame bucket at the batch size
+        # the duration budget implies
+        from zipvoice_tpu.data.dataset import FRAME_BUCKETS
+
+        T_max = max(
+            t for t in FRAME_BUCKETS if t <= args.max_len * 93.75 + 128
+        )
+        B_max = max(1, int(args.max_duration // args.min_len))
+        logging.info(f"--scan-oom probe: B={B_max}, T={T_max}")
+        probe = {
+            "tokens": np.zeros((B_max, 64), np.int32),
+            "tokens_lens": np.full((B_max,), 8, np.int32),
+            "features": np.zeros((B_max, T_max, sample_batch["features"].shape[2]),
+                                 np.float32),
+            "features_lens": np.full((B_max,), T_max, np.int32),
+        }
+        state, m = train_step(
+            state, shard_batch(probe, mesh), jax.random.PRNGKey(0)
+        )
+        logging.info(f"--scan-oom ok (loss {float(m['loss']):.3f})")
 
     tb = None
     if args.tensorboard:
