@@ -233,7 +233,7 @@ class RelPosAttentionWeights(nn.Module):
             initial_scale=0.05, dtype=self.dtype, name="linear_pos",
         )
 
-        if self.use_pallas and T % 128 == 0:
+        if self.use_pallas and T % 8 == 0:
             from zipvoice_tpu.ops.pallas_attention import (
                 rel_pos_attention_weights,
             )

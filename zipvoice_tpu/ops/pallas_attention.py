@@ -28,7 +28,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_TILE = 128
+def _row_tile(T: int) -> int:
+    """Largest sublane-friendly divisor of T (all U-Net levels qualify for
+    frame buckets that are multiples of 8)."""
+    for r in (128, 64, 32, 16, 8):
+        if T % r == 0:
+            return r
+    raise ValueError(f"T={T} not a multiple of 8")
 
 
 def _attn_weights_kernel(q_ref, k_ref, p_ref, pe_ref, mask_ref, out_ref):
@@ -37,7 +43,7 @@ def _attn_weights_kernel(q_ref, k_ref, p_ref, pe_ref, mask_ref, out_ref):
     # pe_ref: (1, 2T-1, pd); mask_ref: (1, 1, T) bool; out_ref: (1, R, T)
     i = pl.program_id(1)
     T = k_ref.shape[1]
-    R = ROW_TILE
+    R = q_ref.shape[1]
 
     qk = jnp.dot(
         q_ref[0], k_ref[0].T, preferred_element_type=jnp.float32
@@ -106,7 +112,7 @@ def _rel_pos_attention_weights(
 ) -> jax.Array:
     B, h, T, qd = q.shape
     pd = p.shape[-1]
-    assert T % ROW_TILE == 0, (T, ROW_TILE)
+    ROW_TILE = _row_tile(T)
     n_tiles = T // ROW_TILE
 
     qf = q.reshape(B * h, T, qd).astype(jnp.float32)
