@@ -56,6 +56,7 @@ class ZipVoice(nn.Module):
     # distill models embed the guidance scale as a network input
     use_guidance_scale_embed: bool = False
     guidance_scale_embed_dim: int = 192
+    use_pallas_attention: bool = False
 
     def _fm_decoder_dims(self):
         """(in_dim, out_dim) of the flow-matching decoder; overridden by the
@@ -82,6 +83,7 @@ class ZipVoice(nn.Module):
             use_guidance_scale_embed=self.use_guidance_scale_embed,
             guidance_scale_embed_dim=self.guidance_scale_embed_dim,
             dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
         )
         self.text_encoder = TTSZipformer(
             in_dim=self.text_embed_dim,
@@ -98,6 +100,7 @@ class ZipVoice(nn.Module):
             pos_dim=self.pos_dim,
             use_time_embed=False,
             dtype=self.dtype,
+            use_pallas_attention=self.use_pallas_attention,
         )
         self.embed = nn.Embed(
             self.vocab_size, self.text_embed_dim, param_dtype=jnp.float32,
