@@ -23,16 +23,22 @@ def main():
     p.add_argument("--output-dir", type=str, required=True)
     p.add_argument("--languages", type=str, default="zh,en")
     p.add_argument("--min-dnsmos", type=float, default=3.0)
+    p.add_argument("--dev-utts", type=int, default=512,
+                   help="utterances per language reserved for the dev split")
     args = p.parse_args()
 
     langs = set(args.languages.split(","))
     os.makedirs(args.output_dir, exist_ok=True)
     writers = {
-        lang: open(os.path.join(args.output_dir, f"emilia_{lang}.tsv"), "w",
-                   encoding="utf-8")
+        (lang, subset): open(
+            os.path.join(args.output_dir, f"emilia_{lang}_{subset}.tsv"),
+            "w", encoding="utf-8",
+        )
         for lang in langs
+        for subset in ("train", "dev")
     }
     kept = dropped = 0
+    per_lang_count = {lang: 0 for lang in langs}
     paths = [q for pat in args.jsonl for q in sorted(glob.glob(pat))]
     for path in paths:
         with open(path, encoding="utf-8") as f:
@@ -57,12 +63,17 @@ def main():
                     dropped += 1
                     continue
                 wav = os.path.join(args.wav_root, wav)
-                writers[lang].write(f"{uid}\t{text}\t{wav}\n")
+                subset = (
+                    "dev" if per_lang_count[lang] < args.dev_utts else "train"
+                )
+                per_lang_count[lang] += 1
+                writers[(lang, subset)].write(f"{uid}\t{text}\t{wav}\n")
                 kept += 1
     for w in writers.values():
         w.close()
+    names = sorted(f"emilia_{lg}_{sub}" for lg, sub in writers)
     print(f"kept {kept}, dropped {dropped}; wrote "
-          f"{', '.join(sorted(writers))} TSVs to {args.output_dir}")
+          f"{', '.join(names)} TSVs to {args.output_dir}")
 
 
 if __name__ == "__main__":

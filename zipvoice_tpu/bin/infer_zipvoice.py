@@ -29,8 +29,9 @@ def get_parser():
                         help="dir with model.pt/model.json/tokens.txt")
     parser.add_argument("--vocoder-path", type=str, default=None,
                         help="vocos pytorch_model.bin (random init if absent)")
-    parser.add_argument("--prompt-wav", type=str, required=True)
-    parser.add_argument("--prompt-text", type=str, required=True)
+    parser.add_argument("--prompt-wav", type=str, default=None,
+                        help="required unless --test-list is given")
+    parser.add_argument("--prompt-text", type=str, default=None)
     parser.add_argument("--text", type=str, default=None)
     parser.add_argument("--test-list", type=str, default=None,
                         help="tsv: wav_name\\tprompt_text\\tprompt_wav\\ttext")
@@ -102,6 +103,9 @@ def main():
         os.makedirs(args.res_dir, exist_ok=True)
     else:
         assert args.text is not None, "--text or --test-list required"
+        assert args.prompt_wav and args.prompt_text, (
+            "--prompt-wav/--prompt-text required without --test-list"
+        )
         jobs.append((args.res_wav_path, args.prompt_text, args.prompt_wav,
                      args.text))
 

@@ -59,6 +59,9 @@ def get_parser():
     p.add_argument("--warmup-batches", type=float, default=500)
     p.add_argument("--clipping-scale", type=float, default=2.0)
     p.add_argument("--num-epochs", type=int, default=11)
+    p.add_argument("--num-iters", type=int, default=0,
+                   help="if >0, stop after this many optimizer steps "
+                        "(reference --num-iters, used by finetune/distill)")
     p.add_argument("--condition-drop-ratio", type=float, default=0.2)
     p.add_argument("--dropout-rate", type=float, default=0.1)
     p.add_argument("--feat-scale", type=float, default=0.1)
@@ -415,7 +418,10 @@ def main():
     t_start = time.time()
     saved_iters = []
 
-    for epoch in range(start_epoch, args.num_epochs + 1):
+    # under --num-iters the iteration budget, not the epoch count, ends
+    # training (reference num-iters mode)
+    last_epoch = args.num_epochs if not args.num_iters else 10**9
+    for epoch in range(start_epoch, last_epoch + 1):
         sampler.set_epoch(epoch)
         if stereo:
             # alternate stereo (se_weight=1) and mixed (se_weight=0) batches
@@ -492,6 +498,9 @@ def main():
                     old = saved_iters.pop(0)
                     shutil.rmtree(old, ignore_errors=True)
 
+            if args.num_iters and step >= args.num_iters:
+                break
+
             if dev_sampler and step % args.valid_interval == 0:
                 v_loss, v_frames = 0.0, 0
                 for i, vb in enumerate(
@@ -518,6 +527,17 @@ def main():
                     tb.add_scalar(
                         "valid/loss", v_loss / max(v_frames, 1), step
                     )
+
+        if args.num_iters and int(state.step) >= args.num_iters:
+            checkpoint_io.save_checkpoint(
+                str(exp_dir / f"checkpoint-{int(state.step)}"),
+                jax.device_get(state),
+                extra={"sampler": sampler.state_dict(),
+                       "batch_idx_train": int(state.step),
+                       "average_period": args.average_period},
+            )
+            logging.info(f"reached --num-iters {args.num_iters}; stopping")
+            break
 
         # end of epoch checkpoint
         path = exp_dir / f"epoch-{epoch}"

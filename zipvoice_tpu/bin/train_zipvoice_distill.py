@@ -153,7 +153,8 @@ def main():
 
     rng = jax.random.PRNGKey(args.seed)
     tot_loss, tot_frames, t0 = 0.0, 0, time.time()
-    for epoch in range(args.start_epoch, args.num_epochs + 1):
+    last_epoch = args.num_epochs if not args.num_iters else 10**9
+    for epoch in range(args.start_epoch, last_epoch + 1):
         sampler.set_epoch(epoch)
         for batch in prefetch_batches(sampler, dataset):
             sharded = shard_batch(
@@ -186,6 +187,16 @@ def main():
                     jax.device_get(state),
                     extra={"batch_idx_train": step},
                 )
+            if args.num_iters and step >= args.num_iters:
+                break
+        if args.num_iters and int(state.step) >= args.num_iters:
+            checkpoint_io.save_checkpoint(
+                str(exp_dir / f"checkpoint-{int(state.step)}"),
+                jax.device_get(state),
+                extra={"batch_idx_train": int(state.step)},
+            )
+            logging.info(f"reached --num-iters {args.num_iters}; stopping")
+            break
         checkpoint_io.save_checkpoint(
             str(exp_dir / f"epoch-{epoch}"), jax.device_get(state),
             extra={"batch_idx_train": int(state.step)},
