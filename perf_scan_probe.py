@@ -1,0 +1,212 @@
+"""Component-level perf profile on the real TPU, relay-proof.
+
+The remote-TPU relay costs ~1.5 s per dispatch and ~25 MB/s for uploads,
+which buries sub-100 ms kernels.  This probe times each component by
+scanning it N times inside ONE jitted program with on-device PRNG inputs
+(no upload in the timed region), returning a scalar checksum.  Per-call
+time = (t(N) - t(1)) / (N - 1), which also cancels the dispatch overhead.
+
+Components (all at bench shapes, bf16):
+  full        fm_decoder forward  (B=16, T=1280) — the CFG-doubled hot call
+  attnw       RelPositionMultiheadAttentionWeights at T=1280/640/320
+  attnw_pallas  same, pallas kernel path
+  skew        the rel->abs skew pipeline alone (pad/reshape/slice)
+  softmax     (B, h, T, T) softmax alone
+  selfatt     SelfAttention application alone
+  nonlin      NonlinAttention alone
+  conv        ConvolutionModule alone
+  ff          FeedforwardModule alone
+
+Usage: python perf_scan_probe.py [--only full,attnw,...] [--n 8]
+"""
+
+import argparse
+import os
+import time
+
+import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+B, H, QD, PD, D, FF = 16, 4, 32, 4, 512, 1536
+DT = jnp.bfloat16
+
+
+def timed_scan(name, make_fn, n):
+    """make_fn(key) -> scalar; scan it n times vs once, report the delta."""
+
+    def loop(nn_):
+        @jax.jit
+        def run(key):
+            def body(c, k):
+                return c + make_fn(k), None
+
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), jax.random.split(key, nn_))
+            return s
+
+        return run
+
+    r1, rn = loop(1), loop(n)
+    k = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    _ = float(r1(k))
+    c1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(rn(k))
+    cn = time.perf_counter() - t0
+    # second measurement to confirm steady state
+    t0 = time.perf_counter()
+    _ = float(rn(jax.random.PRNGKey(1)))
+    cn2 = time.perf_counter() - t0
+    per = (min(cn, cn2) - c1) / (n - 1)
+    print(f"{name:24s} {per * 1e3:9.2f} ms/call   "
+          f"(t1 {c1:.3f}s, t{n} {cn:.3f}/{cn2:.3f}s)", flush=True)
+    return per
+
+
+def module_fn(mod, shapes, **apply_kw):
+    """Init mod host-side and return a key->scalar closure over random inputs."""
+    from bench import host_init_params
+
+    rng = np.random.RandomState(0)
+    init_kw = {
+        k: jnp.zeros(s, DT) if k != "padding_mask" else jnp.zeros(s, bool)
+        for k, s in shapes.items()
+    }
+    params = jax.device_put(host_init_params(mod, rng, **init_kw, **apply_kw))
+
+    def fn(key):
+        keys = jax.random.split(key, len(shapes))
+        args = {
+            k: (jax.random.normal(kk, s, DT) if k != "padding_mask"
+                else jnp.zeros(s, bool))
+            for kk, (k, s) in zip(keys, shapes.items())
+        }
+        return jnp.sum(jnp.abs(mod.apply(params, **args, **apply_kw))
+                       .astype(jnp.float32))
+
+    return fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--t", type=int, default=1280)
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
+
+    from zipvoice_tpu.models import zipformer as zf
+
+    T = args.t
+
+    if want("full"):
+        from bench import host_init_params
+
+        model = zf.TTSZipformer(
+            in_dim=300, out_dim=100, downsampling_factor=(1, 2, 4, 2, 1),
+            num_encoder_layers=(2, 2, 4, 4, 4),
+            cnn_module_kernel=(31, 15, 7, 15, 31), encoder_dim=D,
+            feedforward_dim=FF, num_heads=H, query_head_dim=QD,
+            pos_head_dim=PD, value_head_dim=12, pos_dim=48,
+            use_time_embed=True, time_embed_dim=192, dtype=DT,
+        )
+        rng = np.random.RandomState(0)
+        mask = jnp.zeros((B, T), bool)
+        t_in = jnp.full((B,), 0.5)
+        params = jax.device_put(host_init_params(
+            model, rng, x=jnp.zeros((B, T, 300)), t=t_in, padding_mask=mask
+        ))
+
+        def full_fn(key):
+            x = jax.random.normal(key, (B, T, 300), DT)
+            return jnp.sum(
+                jnp.abs(model.apply(params, x, t=t_in, padding_mask=mask))
+                .astype(jnp.float32)
+            )
+
+        timed_scan("full fm_decoder", full_fn, args.n)
+
+    for t_lvl in (T, T // 2, T // 4):
+        if want("attnw"):
+            mod = zf.RelPositionMultiheadAttentionWeights(
+                embed_dim=D, pos_dim=48, num_heads=H, query_head_dim=QD,
+                pos_head_dim=PD, dtype=DT,
+            )
+            pos = zf.compact_rel_pos_encoding(t_lvl, 48).astype(DT)
+            fn0 = module_fn(mod, {"x": (B, t_lvl, D)}, pos_emb=pos)
+            timed_scan(f"attn_weights T={t_lvl}", fn0, args.n)
+        if want("attnw_pallas"):
+            mod = zf.RelPositionMultiheadAttentionWeights(
+                embed_dim=D, pos_dim=48, num_heads=H, query_head_dim=QD,
+                pos_head_dim=PD, dtype=DT, use_pallas=True,
+            )
+            pos = zf.compact_rel_pos_encoding(t_lvl, 48).astype(DT)
+            fn0 = module_fn(mod, {"x": (B, t_lvl, D)}, pos_emb=pos)
+            timed_scan(f"attn_weights pallas T={t_lvl}", fn0, args.n)
+
+    if want("skew"):
+        def skew_fn(key):
+            ps = jax.random.normal(key, (B, H, T, 2 * T - 1), DT)
+            padded = jnp.pad(ps, ((0, 0), (0, 0), (0, 0), (0, 1)))
+            flat = padded.reshape(B, H, 2 * T * T)
+            flat = jax.lax.slice_in_dim(
+                flat, T - 1, T - 1 + T * (2 * T - 1), axis=-1
+            )
+            out = flat.reshape(B, H, T, 2 * T - 1)[..., :T]
+            return jnp.sum(jnp.abs(out).astype(jnp.float32))
+
+        timed_scan("skew rel->abs", skew_fn, args.n)
+
+    if want("softmax"):
+        def sm_fn(key):
+            s = jax.random.normal(key, (B, H, T, T), DT)
+            w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(DT)
+            return jnp.sum(jnp.abs(w).astype(jnp.float32))
+
+        timed_scan("softmax f32 (B,h,T,T)", sm_fn, args.n)
+
+        def sm16_fn(key):
+            s = jax.random.normal(key, (B, H, T, T), DT)
+            w = jax.nn.softmax(s, axis=-1)
+            return jnp.sum(jnp.abs(w).astype(jnp.float32))
+
+        timed_scan("softmax bf16 (B,h,T,T)", sm16_fn, args.n)
+
+    if want("selfatt"):
+        mod = zf.SelfAttention(embed_dim=D, num_heads=H, value_head_dim=12,
+                               dtype=DT)
+        fn0 = module_fn(
+            mod, {"x": (B, T, D), "attn_weights": (B, H, T, T)}
+        )
+        timed_scan("self_attention", fn0, args.n)
+
+    if want("nonlin"):
+        mod = zf.NonlinAttention(embed_dim=D, hidden_channels=3 * D // 4,
+                                 dtype=DT)
+        fn0 = module_fn(
+            mod, {"x": (B, T, D), "attn_weights": (B, H, T, T)}
+        )
+        timed_scan("nonlin_attention", fn0, args.n)
+
+    if want("conv"):
+        mod = zf.ConvolutionModule(embed_dim=D, kernel_size=31, dtype=DT)
+        fn0 = module_fn(mod, {"x": (B, T, D)})
+        timed_scan("conv_module k=31", fn0, args.n)
+
+    if want("ff"):
+        mod = zf.FeedforwardModule(embed_dim=D, feedforward_dim=FF, dtype=DT)
+        fn0 = module_fn(mod, {"x": (B, T, D)})
+        timed_scan("feedforward", fn0, args.n)
+
+
+if __name__ == "__main__":
+    main()

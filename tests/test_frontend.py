@@ -162,3 +162,71 @@ def test_resample():
     wav = np.sin(2 * np.pi * 100 * t)[None]
     out = resample(wav, sr_in, sr_out)
     assert abs(out.shape[-1] - sr_out) < 4
+
+
+# ---------------------------------------------------------------------------
+# Chinese G2P fallback (frontend/zh_g2p.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zh_g2p_basic():
+    from zipvoice_tpu.frontend.zh_g2p import PinyinLexicon
+
+    lex = PinyinLexicon()
+    # multi-char word entries win over per-char readings (银行: hang2 not xing2)
+    assert lex.g2p("银行") == ["yin2", "hang2"]
+    assert lex.g2p("行为") == ["xing2", "wei2"]
+    assert lex.g2p("中国") == ["zhong1", "guo2"]
+    # neutral tone with five
+    assert lex.g2p("我们") == ["wo3", "men5"]
+    # unknown chars pass through verbatim
+    out = lex.g2p("中鿿国")
+    assert out == ["zhong1", "鿿", "guo2"]
+
+
+def test_zh_g2p_tone_sandhi():
+    from zipvoice_tpu.frontend.zh_g2p import PinyinLexicon
+
+    lex = PinyinLexicon()
+    # third-tone sandhi inside a word: ni3 hao3 -> ni2 hao3
+    assert lex.g2p("你好") == ["ni2", "hao3"]
+    # 不 + tone4 -> bu2
+    assert lex.g2p("不是")[0] == "bu2"
+    # 不 + non-4 stays bu4
+    assert lex.g2p("不能")[0] == "bu4"
+    # 一 + tone4 -> yi2 ; 一 + tone1/2/3 -> yi4
+    assert lex.g2p("一次")[0] == "yi2"
+    assert lex.g2p("一天")[0] == "yi4"
+
+
+def test_zh_g2p_lexicon_file(tmp_path):
+    from zipvoice_tpu.frontend.zh_g2p import PinyinLexicon
+
+    # TSV format
+    tsv = tmp_path / "lex.tsv"
+    tsv.write_text("魑魅\tchi1 mei4\n", encoding="utf-8")
+    lex = PinyinLexicon(str(tsv))
+    assert lex.g2p("魑魅") == ["chi1", "mei4"]
+    # CC-CEDICT format (traditional simplified [pinyin] /defs/)
+    ced = tmp_path / "cedict.u8"
+    ced.write_text(
+        "# comment\n"
+        "魍魎 魍魉 [wang3 liang3] /demons/\n"
+        "綠 绿 [lu:4] /green/\n",
+        encoding="utf-8",
+    )
+    lex2 = PinyinLexicon(str(ced))
+    # third-tone sandhi applies to the loaded word
+    assert lex2.g2p("魍魉") == ["wang2", "liang3"]
+    # u: -> v normalization
+    assert lex2.g2p("绿") == ["lv4"]
+
+
+def test_emilia_tokenizer_zh_without_pypinyin():
+    # pypinyin is not installed in this image, so the tokenizer exercises
+    # the zh_g2p fallback: hanzi -> pinyin -> initial0/final-tone split
+    from zipvoice_tpu.frontend.tokenizer import EmiliaTokenizer
+
+    tok = EmiliaTokenizer()
+    toks = tok.texts_to_tokens(["你好"])[0]
+    assert toks == ["n0", "i2", "h0", "ao3"]

@@ -12,10 +12,12 @@ identically.
 
 Optional third-party pieces degrade gracefully:
 - espeak-ng G2P via ctypes (frontend/g2p.py), char fallback otherwise;
-- hanzi->pinyin needs pypinyin's data tables; when absent, Chinese segments
-  pass through per-character (flagged by a warning).  The pinyin
-  initial/final split itself (tone3 style) is rule-based and implemented
-  here without pypinyin (reference tokenizer.py:348-367).
+- hanzi->pinyin prefers pypinyin's data tables when importable (exact
+  reference behavior); otherwise frontend/zh_g2p.py supplies a
+  self-contained lexicon G2P (greedy longest-match segmentation + the
+  same tone-sandhi rules; extend with $ZIPVOICE_PINYIN_LEXICON, TSV or
+  CC-CEDICT format).  The pinyin initial/final split itself (tone3 style)
+  is rule-based and implemented here (reference tokenizer.py:348-367).
 """
 
 import logging
@@ -228,11 +230,12 @@ class EmiliaTokenizer(_TokenFileMixin):
                     neutral_tone_with_five=True,
                 )
             except ImportError:
-                logging.warning(
-                    "pypinyin unavailable: Chinese passes through per-char "
-                    "(ids will not match reference phone vocab)"
-                )
-                return list(text)
+                # self-contained fallback: lexicon-based greedy-match G2P
+                # with the same sandhi rules (frontend/zh_g2p.py); extend
+                # coverage with $ZIPVOICE_PINYIN_LEXICON (TSV or CC-CEDICT)
+                from zipvoice_tpu.frontend.zh_g2p import default_lexicon
+
+                full = default_lexicon().g2p(text)
             phones = []
             for x in full:
                 if not (x[0:-1].isalpha() and x[-1] in "12345"):
