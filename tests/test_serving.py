@@ -112,4 +112,43 @@ def test_server_end_to_end(tiny_model_dir):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+    # OpenAI-compatible surface
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/v1/models", timeout=10
+    ) as r:
+        models = json.loads(r.read())
+        assert models["data"][0]["id"] == "zipvoice"
+
+    def post_raw(path, obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return urllib.request.urlopen(req, timeout=300)
+
+    with post_raw("/v1/audio/speech", {
+        "model": "zipvoice", "input": "openai style call.",
+        "voice": "spk1", "response_format": "wav",
+    }) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        with wave_mod.open(io.BytesIO(r.read()), "rb") as f:
+            assert f.getframerate() == sr and f.getnframes() > 0
+
+    with post_raw("/v1/audio/speech", {
+        "model": "zipvoice", "input": "pcm please.", "voice": "spk1",
+        "response_format": "pcm", "speed": 1.25,
+    }) as r:
+        assert r.headers["Content-Type"] == "audio/pcm"
+        pcm = np.frombuffer(r.read(), "<i2")
+        assert pcm.size > 0
+
+    # OpenAI-style errors: unknown voice -> 404 with error envelope
+    try:
+        post_raw("/v1/audio/speech", {"input": "x", "voice": "nope"})
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+        assert "unknown voice" in json.loads(e.read())["error"]["message"]
     server.shutdown()

@@ -19,6 +19,15 @@ POST /tts        {"text": ..., "prompt_text": ..., "prompt_wav_b64": ...}
 POST /tts        {"text": ..., "speaker": "cached_name"}
 POST /speaker    {"name": ..., "prompt_text": ..., "prompt_wav_b64": ...}
 GET  /health
+
+OpenAI-compatible surface (the reference points to an external FastAPI
+bridge for this, runtime/nvidia_triton/README.md:161-176; here it is
+first-party):
+
+POST /v1/audio/speech  {"model": ..., "input": text, "voice": speaker,
+                        "response_format": "wav"|"pcm", "speed": 1.0}
+                       -> raw audio bytes (voice = a cached speaker name)
+GET  /v1/models
 """
 
 import argparse
@@ -86,10 +95,11 @@ class TTSEngine:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, speaker_entry: dict, text: str) -> "queue.Queue":
+    def submit(self, speaker_entry: dict, text: str,
+               speed: float = 1.0) -> "queue.Queue":
         done: "queue.Queue" = queue.Queue(maxsize=1)
         tokens = self.pipeline.tokenizer.texts_to_token_ids([text])[0]
-        self.q.put((speaker_entry, tokens, done))
+        self.q.put((speaker_entry, tokens, done, speed))
         return done
 
     def _run(self):
@@ -109,27 +119,27 @@ class TTSEngine:
                 self._process(batch)
             except Exception as e:  # noqa: BLE001
                 logging.exception("batch failed")
-                for _, _, done in batch:
+                for _, _, done, _ in batch:
                     done.put(("error", str(e)))
 
     def _process(self, batch):
-        # group by speaker (same prompt features batch together)
+        # group by (speaker, speed): same prompt features batch together
         pipe = self.pipeline
-        by_spk: Dict[int, List] = {}
+        by_spk: Dict[tuple, List] = {}
         for item in batch:
-            by_spk.setdefault(id(item[0]), []).append(item)
-        for items in by_spk.values():
+            by_spk.setdefault((id(item[0]), item[3]), []).append(item)
+        for (_, speed), items in by_spk.items():
             entry = items[0][0]
-            tokens_list = [tokens for _, tokens, _ in items]
+            tokens_list = [tokens for _, tokens, _, _ in items]
             # run them as one padded batch
             feats, lens = pipe._sample_batch(
                 tokens_list, entry["tokens"], entry["features"],
                 num_step=self.num_step, guidance_scale=self.guidance_scale,
-                speed=1.0, t_shift=0.5,
+                speed=speed, t_shift=0.5,
             )
             chunks = [feats[i, : lens[i]] for i in range(len(items))]
             wavs = pipe._vocode_chunks(chunks)
-            for (entry_, _, done), wav in zip(items, wavs):
+            for (entry_, _, done, _), wav in zip(items, wavs):
                 if entry_["prompt_rms"] < 0.1:
                     wav = wav * entry_["prompt_rms"] / 0.1
                 done.put(("ok", wav))
@@ -161,7 +171,7 @@ def _decode_wav_b64(b64: str):
     return wav, sr
 
 
-def make_handler(engine: TTSEngine):
+def make_handler(engine: TTSEngine, model_name: str = "zipvoice"):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             logging.debug(fmt % args)
@@ -174,11 +184,62 @@ def make_handler(engine: TTSEngine):
             self.end_headers()
             self.wfile.write(body)
 
+        def _bytes(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _openai_error(self, code: int, message: str,
+                          err_type: str = "invalid_request_error"):
+            self._json(code, {"error": {"message": message,
+                                        "type": err_type}})
+
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json(200, {
+                    "object": "list",
+                    "data": [{"id": model_name, "object": "model",
+                              "owned_by": "zipvoice_tpu"}],
+                })
             else:
                 self._json(404, {"error": "not found"})
+
+        def _openai_speech(self, req: dict):
+            """OpenAI /v1/audio/speech: voice = a cached speaker name."""
+            text = req.get("input")
+            voice = req.get("voice")
+            if not text or not voice:
+                self._openai_error(400, "'input' and 'voice' are required")
+                return
+            entry = engine.cache.get(voice)
+            if entry is None:
+                self._openai_error(
+                    404,
+                    f"unknown voice {voice!r}; register it first via "
+                    "POST /speaker",
+                )
+                return
+            speed = float(req.get("speed", 1.0))
+            fmt = req.get("response_format", "wav")
+            if fmt not in ("wav", "pcm"):
+                self._openai_error(
+                    400, f"response_format {fmt!r} unsupported (wav|pcm)"
+                )
+                return
+            status, result = engine.submit(entry, text, speed=speed).get()
+            if status != "ok":
+                self._openai_error(500, result, "server_error")
+                return
+            sr = engine.pipeline.sampling_rate
+            if fmt == "pcm":
+                pcm = (np.clip(result, -1, 1) * 32767).astype("<i2")
+                self._bytes(200, pcm.tobytes(), "audio/pcm")
+            else:
+                self._bytes(200, _wav_bytes(result, sr), "audio/wav")
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
@@ -187,7 +248,9 @@ def make_handler(engine: TTSEngine):
             except json.JSONDecodeError:
                 self._json(400, {"error": "bad json"})
                 return
-            if self.path == "/speaker":
+            if self.path == "/v1/audio/speech":
+                self._openai_speech(req)
+            elif self.path == "/speaker":
                 wav, sr = _decode_wav_b64(req["prompt_wav_b64"])
                 engine.cache.add(req["name"], req["prompt_text"], wav, sr)
                 self._json(200, {"status": "ok"})
@@ -280,7 +343,9 @@ def main():
                     t_shift=0.5,
                 )
         logging.info("warmup done")
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", args.port), make_handler(engine, args.model_name)
+    )
     logging.info(f"serving on :{args.port}")
     server.serve_forever()
 
