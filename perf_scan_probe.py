@@ -37,35 +37,44 @@ B, H, QD, PD, D, FF = 16, 4, 32, 4, 512, 1536
 DT = jnp.bfloat16
 
 
-def timed_scan(name, make_fn, n):
-    """make_fn(key) -> scalar; scan it n times vs once, report the delta."""
+def timed_scan(name, make_fn, n, params=None):
+    """make_fn(params, key) -> scalar; scan it n times vs once and report
+    the delta.  `params` MUST be passed as an explicit jit argument — a
+    closed-over device tree would be serialized as constants into the
+    remote compile request (HTTP 413 over the relay)."""
 
     def loop(nn_):
         @jax.jit
-        def run(key):
+        def run(params, key):
             def body(c, k):
-                return c + make_fn(k), None
+                return c + make_fn(params, k), None
 
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), jax.random.split(key, nn_))
+            s, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jax.random.split(key, nn_)
+            )
             return s
 
         return run
 
     r1, rn = loop(1), loop(n)
-    k = jax.random.PRNGKey(0)
-    t0 = time.perf_counter()
-    _ = float(r1(k))
-    c1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(rn(k))
-    cn = time.perf_counter() - t0
-    # second measurement to confirm steady state
-    t0 = time.perf_counter()
-    _ = float(rn(jax.random.PRNGKey(1)))
-    cn2 = time.perf_counter() - t0
-    per = (min(cn, cn2) - c1) / (n - 1)
-    print(f"{name:24s} {per * 1e3:9.2f} ms/call   "
-          f"(t1 {c1:.3f}s, t{n} {cn:.3f}/{cn2:.3f}s)", flush=True)
+    # warm both programs (compile + first dispatch), results discarded
+    _ = float(r1(params, jax.random.PRNGKey(100)))
+    _ = float(rn(params, jax.random.PRNGKey(101)))
+
+    def med(f, seeds):
+        ts = []
+        for s in seeds:
+            t0 = time.perf_counter()
+            _ = float(f(params, jax.random.PRNGKey(s)))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    # fresh keys every call: the relay caches identical executions
+    c1 = med(r1, (1, 2, 3))
+    cn = med(rn, (11, 12, 13))
+    per = (cn - c1) / (n - 1)
+    print(f"{name:28s} {per * 1e3:9.2f} ms/call   "
+          f"(t1 {c1:.3f}s, t{n} {cn:.3f}s)", flush=True)
     return per
 
 
@@ -80,17 +89,17 @@ def module_fn(mod, shapes, **apply_kw):
     }
     params = jax.device_put(host_init_params(mod, rng, **init_kw, **apply_kw))
 
-    def fn(key):
+    def fn(p, key):
         keys = jax.random.split(key, len(shapes))
         args = {
             k: (jax.random.normal(kk, s, DT) if k != "padding_mask"
                 else jnp.zeros(s, bool))
             for kk, (k, s) in zip(keys, shapes.items())
         }
-        return jnp.sum(jnp.abs(mod.apply(params, **args, **apply_kw))
+        return jnp.sum(jnp.abs(mod.apply(p, **args, **apply_kw))
                        .astype(jnp.float32))
 
-    return fn
+    return params, fn
 
 
 def main():
@@ -98,6 +107,8 @@ def main():
     ap.add_argument("--only", type=str, default=None)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--t", type=int, default=1280)
+    ap.add_argument("--levels", type=str, default=None,
+                    help="comma list of T levels for attnw (default T,T/2,T/4)")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
@@ -108,7 +119,7 @@ def main():
 
     T = args.t
 
-    if want("full"):
+    if want("full") or want("full_pallas"):
         from bench import host_init_params
 
         model = zf.TTSZipformer(
@@ -118,6 +129,7 @@ def main():
             feedforward_dim=FF, num_heads=H, query_head_dim=QD,
             pos_head_dim=PD, value_head_dim=12, pos_dim=48,
             use_time_embed=True, time_embed_dim=192, dtype=DT,
+            use_pallas_attention=want("full_pallas"),
         )
         rng = np.random.RandomState(0)
         mask = jnp.zeros((B, T), bool)
@@ -126,35 +138,42 @@ def main():
             model, rng, x=jnp.zeros((B, T, 300)), t=t_in, padding_mask=mask
         ))
 
-        def full_fn(key):
+        def full_fn(p, key):
             x = jax.random.normal(key, (B, T, 300), DT)
             return jnp.sum(
-                jnp.abs(model.apply(params, x, t=t_in, padding_mask=mask))
+                jnp.abs(model.apply(p, x, t=t_in, padding_mask=mask))
                 .astype(jnp.float32)
             )
 
-        timed_scan("full fm_decoder", full_fn, args.n)
+        label = "full fm_decoder" + (
+            " (pallas)" if want("full_pallas") else ""
+        )
+        timed_scan(label, full_fn, args.n, params)
 
-    for t_lvl in (T, T // 2, T // 4):
+    levels = (
+        tuple(int(x) for x in args.levels.split(","))
+        if args.levels else (T, T // 2, T // 4)
+    )
+    for t_lvl in levels:
         if want("attnw"):
-            mod = zf.RelPositionMultiheadAttentionWeights(
+            mod = zf.RelPosAttentionWeights(
                 embed_dim=D, pos_dim=48, num_heads=H, query_head_dim=QD,
                 pos_head_dim=PD, dtype=DT,
             )
             pos = zf.compact_rel_pos_encoding(t_lvl, 48).astype(DT)
-            fn0 = module_fn(mod, {"x": (B, t_lvl, D)}, pos_emb=pos)
-            timed_scan(f"attn_weights T={t_lvl}", fn0, args.n)
+            p0, fn0 = module_fn(mod, {"x": (B, t_lvl, D)}, pos_emb=pos)
+            timed_scan(f"attn_weights T={t_lvl}", fn0, args.n, p0)
         if want("attnw_pallas"):
-            mod = zf.RelPositionMultiheadAttentionWeights(
+            mod = zf.RelPosAttentionWeights(
                 embed_dim=D, pos_dim=48, num_heads=H, query_head_dim=QD,
                 pos_head_dim=PD, dtype=DT, use_pallas=True,
             )
             pos = zf.compact_rel_pos_encoding(t_lvl, 48).astype(DT)
-            fn0 = module_fn(mod, {"x": (B, t_lvl, D)}, pos_emb=pos)
-            timed_scan(f"attn_weights pallas T={t_lvl}", fn0, args.n)
+            p0, fn0 = module_fn(mod, {"x": (B, t_lvl, D)}, pos_emb=pos)
+            timed_scan(f"attn_weights pallas T={t_lvl}", fn0, args.n, p0)
 
     if want("skew"):
-        def skew_fn(key):
+        def skew_fn(p, key):
             ps = jax.random.normal(key, (B, H, T, 2 * T - 1), DT)
             padded = jnp.pad(ps, ((0, 0), (0, 0), (0, 0), (0, 1)))
             flat = padded.reshape(B, H, 2 * T * T)
@@ -167,14 +186,14 @@ def main():
         timed_scan("skew rel->abs", skew_fn, args.n)
 
     if want("softmax"):
-        def sm_fn(key):
+        def sm_fn(p, key):
             s = jax.random.normal(key, (B, H, T, T), DT)
             w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(DT)
             return jnp.sum(jnp.abs(w).astype(jnp.float32))
 
         timed_scan("softmax f32 (B,h,T,T)", sm_fn, args.n)
 
-        def sm16_fn(key):
+        def sm16_fn(p, key):
             s = jax.random.normal(key, (B, H, T, T), DT)
             w = jax.nn.softmax(s, axis=-1)
             return jnp.sum(jnp.abs(w).astype(jnp.float32))
@@ -184,28 +203,28 @@ def main():
     if want("selfatt"):
         mod = zf.SelfAttention(embed_dim=D, num_heads=H, value_head_dim=12,
                                dtype=DT)
-        fn0 = module_fn(
+        p0, fn0 = module_fn(
             mod, {"x": (B, T, D), "attn_weights": (B, H, T, T)}
         )
-        timed_scan("self_attention", fn0, args.n)
+        timed_scan("self_attention", fn0, args.n, p0)
 
     if want("nonlin"):
-        mod = zf.NonlinAttention(embed_dim=D, hidden_channels=3 * D // 4,
+        mod = zf.NonlinAttention(channels=D, hidden_channels=3 * D // 4,
                                  dtype=DT)
-        fn0 = module_fn(
-            mod, {"x": (B, T, D), "attn_weights": (B, H, T, T)}
+        p0, fn0 = module_fn(
+            mod, {"x": (B, T, D), "attn_weights_head0": (B, T, T)}
         )
-        timed_scan("nonlin_attention", fn0, args.n)
+        timed_scan("nonlin_attention", fn0, args.n, p0)
 
     if want("conv"):
-        mod = zf.ConvolutionModule(embed_dim=D, kernel_size=31, dtype=DT)
-        fn0 = module_fn(mod, {"x": (B, T, D)})
-        timed_scan("conv_module k=31", fn0, args.n)
+        mod = zf.ConvolutionModule(channels=D, kernel_size=31, dtype=DT)
+        p0, fn0 = module_fn(mod, {"x": (B, T, D)})
+        timed_scan("conv_module k=31", fn0, args.n, p0)
 
     if want("ff"):
         mod = zf.FeedforwardModule(embed_dim=D, feedforward_dim=FF, dtype=DT)
-        fn0 = module_fn(mod, {"x": (B, T, D)})
-        timed_scan("feedforward", fn0, args.n)
+        p0, fn0 = module_fn(mod, {"x": (B, T, D)})
+        timed_scan("feedforward", fn0, args.n, p0)
 
 
 if __name__ == "__main__":

@@ -46,3 +46,31 @@ def test_pallas_attention_weights_matches():
         )
     )
     np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-5)
+
+
+def test_module_gate_pallas_matches_xla():
+    """RelPosAttentionWeights(use_pallas=True) kernels only levels with
+    T >= ops.pallas_attention.MIN_SEQ_LEN; at such a T the two paths agree
+    (interpret mode on CPU)."""
+    from zipvoice_tpu.models.zipformer import (
+        RelPosAttentionWeights,
+        compact_rel_pos_encoding,
+    )
+    from zipvoice_tpu.ops import pallas_attention as pa
+
+    B, T, D, h = 1, pa.MIN_SEQ_LEN, 64, 4
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    mask = jnp.zeros((B, T), bool).at[:, -17:].set(True)
+    pos = compact_rel_pos_encoding(T, 48)
+
+    kw = dict(embed_dim=D, pos_dim=48, num_heads=h, query_head_dim=8,
+              pos_head_dim=4)
+    mod = RelPosAttentionWeights(**kw)
+    params = mod.init(jax.random.PRNGKey(0), x, pos)
+    ref = mod.apply(params, x, pos, mask)
+    out = RelPosAttentionWeights(**kw, use_pallas=True).apply(
+        params, x, pos, mask
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

@@ -51,6 +51,9 @@ def get_parser():
                         choices=[None, "cpu", "tpu"])
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 compute (fp32 params)")
+    parser.add_argument("--use-pallas-attention", action="store_true",
+                        help="fused pallas attention-weights kernel at the "
+                             "top U-Net level (long first compile; cached)")
     return parser
 
 
@@ -80,7 +83,8 @@ def main():
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model, params, tokenizer = load_model_dir(
-        args.model_dir, args.model_name, dtype=dtype
+        args.model_dir, args.model_name, dtype=dtype,
+        use_pallas_attention=args.use_pallas_attention,
     )
     vocoder, vocoder_params = load_vocos(args.vocoder_path, dtype=dtype)
     if args.vocoder_path is None:

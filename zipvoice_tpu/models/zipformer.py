@@ -233,7 +233,10 @@ class RelPosAttentionWeights(nn.Module):
             initial_scale=0.05, dtype=self.dtype, name="linear_pos",
         )
 
-        if self.use_pallas and T % 8 == 0:
+        from zipvoice_tpu.ops import pallas_attention as _pa
+
+        if (self.use_pallas and T % 8 == 0
+                and T >= _pa.MIN_SEQ_LEN):
             from zipvoice_tpu.ops.pallas_attention import (
                 rel_pos_attention_weights,
             )
@@ -405,6 +408,8 @@ class ConvolutionModule(nn.Module):
     channels: int
     kernel_size: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # CPU-test hook
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, train: bool = False):
@@ -427,14 +432,22 @@ class ConvolutionModule(nn.Module):
             "depthwise_weight", torch_linear_kernel_init(1.0), (fan_in, C)
         )
         b = self.param("depthwise_bias", torch_linear_bias_init(fan_in), (C,))
-        v = jax.lax.conv_general_dilated(
-            v.astype(self.dtype),
-            w.reshape(k, 1, C).astype(self.dtype),
-            window_strides=(1,),
-            padding=[(k // 2, k // 2)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=C,
-        ) + b.astype(self.dtype)
+        if self.use_pallas:
+            from zipvoice_tpu.ops.pallas_conv import depthwise_conv1d
+
+            v = depthwise_conv1d(
+                v.astype(self.dtype), w.astype(self.dtype),
+                b.astype(self.dtype), interpret=self.pallas_interpret,
+            )
+        else:
+            v = jax.lax.conv_general_dilated(
+                v.astype(self.dtype),
+                w.reshape(k, 1, C).astype(self.dtype),
+                window_strides=(1,),
+                padding=[(k // 2, k // 2)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=C,
+            ) + b.astype(self.dtype)
         if train:
             # balancer2 + whiten after the depthwise conv (reference
             # :1614-1628)
@@ -465,6 +478,7 @@ class ZipformerEncoderLayer(nn.Module):
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(
@@ -523,7 +537,8 @@ class ZipformerEncoderLayer(nn.Module):
                 src = src + time_emb
             src = src + ConvolutionModule(
                 channels=d, kernel_size=self.cnn_module_kernel,
-                dtype=self.dtype, name="conv_module1",
+                dtype=self.dtype, use_pallas=self.use_pallas_conv,
+                name="conv_module1",
             )(src, key_padding_mask, train=train)
 
         ff2 = FeedforwardModule(
@@ -551,7 +566,8 @@ class ZipformerEncoderLayer(nn.Module):
                 src = src + time_emb
             src = src + ConvolutionModule(
                 channels=d, kernel_size=self.cnn_module_kernel,
-                dtype=self.dtype, name="conv_module2",
+                dtype=self.dtype, use_pallas=self.use_pallas_conv,
+                name="conv_module2",
             )(src, key_padding_mask, train=train)
 
         ff3 = FeedforwardModule(
@@ -602,6 +618,7 @@ class ZipformerEncoder(nn.Module):
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(
@@ -639,6 +656,7 @@ class ZipformerEncoder(nn.Module):
                 use_conv=self.use_conv,
                 dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
+                use_pallas_conv=self.use_pallas_conv,
                 name=f"layers_{i}",
             )(
                 out, pos_emb, time_emb, key_padding_mask,
@@ -665,6 +683,7 @@ class EncoderStack(nn.Module):
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(
@@ -686,6 +705,7 @@ class EncoderStack(nn.Module):
             use_conv=self.use_conv,
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
+            use_pallas_conv=self.use_pallas_conv,
             name="encoder",
         )
         if ds == 1:
@@ -756,6 +776,7 @@ class TTSZipformer(nn.Module):
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
+    use_pallas_conv: bool = False
 
     def _per_stack(self, val):
         n = len(self.downsampling_factor)
@@ -835,6 +856,7 @@ class TTSZipformer(nn.Module):
                 use_conv=self.use_conv,
                 dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
+                use_pallas_conv=self.use_pallas_conv,
                 name=f"encoders_{i}",
             )(
                 x, time_emb, padding_mask,

@@ -57,6 +57,7 @@ class ZipVoice(nn.Module):
     use_guidance_scale_embed: bool = False
     guidance_scale_embed_dim: int = 192
     use_pallas_attention: bool = False
+    use_pallas_conv: bool = False
 
     def _fm_decoder_dims(self):
         """(in_dim, out_dim) of the flow-matching decoder; overridden by the
@@ -84,6 +85,7 @@ class ZipVoice(nn.Module):
             guidance_scale_embed_dim=self.guidance_scale_embed_dim,
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
+            use_pallas_conv=self.use_pallas_conv,
         )
         self.text_encoder = TTSZipformer(
             in_dim=self.text_embed_dim,
@@ -101,6 +103,7 @@ class ZipVoice(nn.Module):
             use_time_embed=False,
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
+            use_pallas_conv=self.use_pallas_conv,
         )
         self.embed = nn.Embed(
             self.vocab_size, self.text_embed_dim, param_dtype=jnp.float32,

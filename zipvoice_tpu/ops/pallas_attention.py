@@ -28,6 +28,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Policy knob: with use_pallas on, only sequence lengths >= MIN_SEQ_LEN take
+# the kernel path (shorter levels fall back to the XLA skew path).  On-chip
+# profiling (PERF.md) shows the XLA path is only pathological at the top
+# U-Net level (T=1280: 20.5 ms vs quadratic-predicted 9 ms; T<=640 is fine),
+# and each kernel shape costs a ~20 min Mosaic compile over this
+# environment's relay — so the default only kernels the top level.
+MIN_SEQ_LEN = 1024
+
 def _row_tile(T: int) -> int:
     """Largest sublane-friendly divisor of T (all U-Net levels qualify for
     frame buckets that are multiples of 8)."""

@@ -295,6 +295,9 @@ def main():
     p.add_argument("--num-step", type=int, default=4)
     p.add_argument("--guidance-scale", type=float, default=3.0)
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--use-pallas-attention", action="store_true",
+                   help="fused pallas attention kernel at the top U-Net "
+                        "level (long first compile; persistently cached)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile common (batch, token, frame) buckets "
                         "before accepting traffic (AOT engine warm)")
@@ -318,7 +321,8 @@ def main():
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model, params, tokenizer = load_model_dir(
-        args.model_dir, args.model_name, dtype=dtype
+        args.model_dir, args.model_name, dtype=dtype,
+        use_pallas_attention=args.use_pallas_attention,
     )
     vocoder, vp = load_vocos(args.vocoder_path, dtype=dtype)
     pipeline = InferencePipeline(model, params, vocoder, vp, tokenizer)

@@ -33,7 +33,8 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
 
 
 def load_model_dir(
-    model_dir: str, model_name: str = "zipvoice", dtype=None
+    model_dir: str, model_name: str = "zipvoice", dtype=None,
+    use_pallas_attention: bool = False,
 ) -> Tuple[Any, Dict[str, Any], Any]:
     """Load (model, params, tokenizer) from a reference-layout model dir:
     model.pt|model.safetensors + model.json + tokens.txt."""
@@ -68,6 +69,7 @@ def load_model_dir(
         vocab_size=tokenizer.vocab_size,
         pad_id=tokenizer.pad_id,
         dtype=dtype or jnp.float32,
+        use_pallas_attention=use_pallas_attention,
         **extra,
     )
 
