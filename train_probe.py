@@ -59,24 +59,62 @@ def main():
     )
     tx = scaled_adam(lr=eden_schedule(base_lr=0.02), clipping_scale=2.0)
     state = init_train_state(params, tx)
-    step = make_train_step(model, tx)
+    raw_step = make_train_step(model, tx, jit=False)
 
-    key = jax.random.PRNGKey(0)
+    # Honest timing through the relay: scan N steps inside ONE program and
+    # return a full-param checksum (forces every update to materialize —
+    # syncing only on the loss scalar lets async work trail behind), then
+    # per-step = (t_N - t_1) / (N - 1), which cancels dispatch overhead.
+    batch_dev = jax.device_put({k: jnp.asarray(v) for k, v in batch.items()})
+
+    def make_run(n):
+        @jax.jit
+        def run(state, batch, key):
+            def body(st, k):
+                st, metrics = raw_step(st, batch, k)
+                return st, metrics["loss"]
+
+            st, losses = jax.lax.scan(
+                body, state, jax.random.split(key, n)
+            )
+            chk = sum(
+                jnp.sum(jnp.abs(x).astype(jnp.float32))
+                for x in jax.tree.leaves(st.params)
+            )
+            return losses, chk
+
+        return run
+
+    n = max(args.iters, 4)
+    r1, rn = make_run(1), make_run(n)
     t0 = time.perf_counter()
-    state, metrics = step(state, batch, key)
-    print(f"# warmup (incl. compile): {time.perf_counter() - t0:.1f}s "
-          f"loss={float(metrics['loss']):.4f}", flush=True)
+    losses, chk = r1(state, batch_dev, jax.random.PRNGKey(0))
+    _ = float(chk)
+    print(f"# warmup n=1 (incl. compile): {time.perf_counter() - t0:.1f}s "
+          f"loss={float(losses[-1]):.4f}", flush=True)
+    t0 = time.perf_counter()
+    losses, chk = rn(state, batch_dev, jax.random.PRNGKey(1))
+    _ = float(chk)
+    print(f"# warmup n={n} (incl. compile): {time.perf_counter() - t0:.1f}s",
+          flush=True)
 
+    def med(f, seeds):
+        ts = []
+        for s in seeds:
+            t0 = time.perf_counter()
+            ls, c = f(state, batch_dev, jax.random.PRNGKey(s))
+            _ = float(c)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2], ls
+
+    c1, _ = med(r1, (2, 3, 4))
+    cn, losses = med(rn, (12, 13, 14))
+    per = (cn - c1) / (n - 1)
     frames = int(batch["features_lens"].sum())
-    for i in range(args.iters):
-        t0 = time.perf_counter()
-        state, metrics = step(state, batch, key)
-        dt = time.perf_counter() - t0 + 1e-9
-        # materialize to force full sync through the relay
-        loss = float(metrics["loss"])
-        print(f"train step: {dt:.3f}s loss={loss:.4f} "
-              f"frames/s={frames / dt:.0f} "
-              f"audio-s/s={frames / dt / 93.75:.1f}", flush=True)
+    print(f"train step ({n}-step scan): {per:.3f}s/step "
+          f"losses={[round(float(x), 3) for x in losses]} "
+          f"frames/s={frames / per:.0f} "
+          f"audio-s/s/chip={frames / per / 93.75:.1f}", flush=True)
 
 
 if __name__ == "__main__":

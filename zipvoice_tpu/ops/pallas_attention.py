@@ -5,17 +5,23 @@ Computes softmax(q@k^T + rel2abs(p@pe^T) + mask) in one VMEM-resident pass.
 The XLA fallback (models/zipformer.py RelPosAttentionWeights) materializes
 pos_scores (B, h, T, 2T-1) in HBM, skews it to (B, h, T, T), adds, masks,
 and softmaxes — several HBM round trips over O(T^2) tensors.  This kernel
-keeps everything for a 128-row query tile in VMEM:
+keeps everything for an R-row query tile in VMEM:
 
-  grid = (B*h, T/128): per tile
-    - qk  = q_tile (128, qd) @ k^T (qd, T)                     [MXU]
-    - pos = p_tile (128, pd) @ pe^T (pd, 2T-1)                 [MXU]
+  grid = (B*h, T/R): per tile
+    - qk  = q_tile (R, qd) @ k^T (qd, T)                        [MXU]
+    - pos = p_tile (R, pd) @ pe_window^T (pd, T+R)              [MXU]
+      where pe_window is the per-tile slice of the (2T-1)-row rel-pos
+      table that covers every rel offset the tile's rows can read —
+      pre-sliced OUTSIDE the kernel (it's tiny), so the kernel never
+      touches the full-width (R, 2T-1) layout
     - rel->abs skew (reference zipformer.py:1239-1248:
-      out[r, j] = pos[r, (T-1-row) + j]): one dynamic-slice window of
-      width T+127 shared by the tile, then per-row left-shift by
-      (127 - r) realized as 7 bit-decomposed pltpu.rolls with row masks —
-      no per-row gathers or loops, so Mosaic compiles it flat   [VPU]
-    - mask fill -1000, row softmax                              [VPU]
+      out[r, j] = pos[r, (R-1-r) + j]): ONE hardware strided roll
+      (pltpu.roll with stride 1 along rows == right-roll row r by
+      T+1+r, congruent mod T+R to the left-shift by R-1-r)        [VPU]
+    - mask fill -1000, row softmax (f32)                          [VPU]
+
+I/O stays in the caller's dtype (bf16 at inference) with f32 accumulation
+inside; the (B, h, T, T) weights tensor is written to HBM exactly once.
 
 Used by RelPosAttentionWeights(use_pallas=True); numerics validated against
 the jnp path in tests/test_pallas_attention.py (interpret mode on CPU).
@@ -32,9 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 # the kernel path (shorter levels fall back to the XLA skew path).  On-chip
 # profiling (PERF.md) shows the XLA path is only pathological at the top
 # U-Net level (T=1280: 20.5 ms vs quadratic-predicted 9 ms; T<=640 is fine),
-# and each kernel shape costs a ~20 min Mosaic compile over this
-# environment's relay — so the default only kernels the top level.
+# and each kernel shape costs a long Mosaic compile over this environment's
+# relay — so the default only kernels the top level.
 MIN_SEQ_LEN = 1024
+
 
 def _row_tile(T: int) -> int:
     """Largest sublane-friendly divisor of T (all U-Net levels qualify for
@@ -46,39 +53,26 @@ def _row_tile(T: int) -> int:
 
 
 def _attn_weights_kernel(q_ref, k_ref, p_ref, pe_ref, mask_ref, out_ref):
-    # blocks carry a leading singleton (batch*head) dim:
+    # blocks carry leading singleton (batch*head[, tile]) dims:
     # q_ref: (1, R, qd); k_ref: (1, T, qd); p_ref: (1, R, pd)
-    # pe_ref: (1, 2T-1, pd); mask_ref: (1, 1, T) bool; out_ref: (1, R, T)
-    i = pl.program_id(1)
+    # pe_ref: (1, 1, T+R, pd) per-tile window; mask_ref: (1, 1, T) bool
+    # out_ref: (1, R, T)
     T = k_ref.shape[1]
     R = q_ref.shape[1]
+    W = T + R  # window width
 
     qk = jnp.dot(
         q_ref[0], k_ref[0].T, preferred_element_type=jnp.float32
     )  # (R, T)
-    pos_full = jnp.dot(
-        p_ref[0], pe_ref[0].T, preferred_element_type=jnp.float32
-    )  # (R, 2T-1)
+    pos_win = jnp.dot(
+        p_ref[0], pe_ref[0, 0].T, preferred_element_type=jnp.float32
+    )  # (R, W)
 
-    # rel->abs: out[r, j] = pos_full[r, s_r + j] with
-    # s_r = (T-1) - (row_base + r) in [0, T-1].  Realized as a per-row
-    # circular left shift by s_r, bit-decomposed into static-amount rolls
-    # gated by per-row masks (Mosaic supports neither value dynamic_slice
-    # nor per-row shifts directly; it does support full-tile rolls).
-    # Reads stay in [s_r, s_r+T) ⊂ [0, 2T-1): no wraparound corruption.
-    row_base = i * R
-    W = 2 * T - 1
-    shift = (T - 1 - row_base) - jax.lax.broadcasted_iota(
-        jnp.int32, (R, 1), 0
-    )
-    x = pos_full
-    b = 1
-    while b < T:
-        # left-by-b == right-by-(W-b); pltpu.roll wants non-negative shifts
-        rolled = pltpu.roll(x, W - b, axis=1)
-        x = jnp.where((shift & b) != 0, rolled, x)
-        b *= 2
-    pos = x[:, :T]
+    # rel->abs within the window: out[r, j] = pos_win[r, (R-1-r) + j].
+    # A left-shift of row r by (R-1-r) equals a right-roll by
+    # W-(R-1)+r = T+1+r — one strided roll (shift T+1, stride 1 over rows).
+    # Reads stay in [R-1-r, R-1-r+T) ⊂ [0, W): no wraparound corruption.
+    pos = pltpu.roll(pos_win, T + 1, 1, stride=1, stride_axis=0)[:, :T]
 
     scores = qk + pos
     scores = jnp.where(mask_ref[0, 0, :][None, :], -1000.0, scores)
@@ -99,7 +93,7 @@ def rel_pos_attention_weights(
 ) -> jax.Array:
     """q, k: (B, h, T, qd); p: (B, h, T, pd); pe: (h, 2T-1, pd)
     (head-projected positional table); key_padding_mask: (B, T) bool.
-    Returns (B, h, T, T) softmaxed weights.
+    Returns (B, h, T, T) softmaxed weights in q's dtype.
     """
     if interpret is None:
         # pallas has no compiled CPU path; interpret there (tests)
@@ -120,15 +114,23 @@ def _rel_pos_attention_weights(
 ) -> jax.Array:
     B, h, T, qd = q.shape
     pd = p.shape[-1]
-    ROW_TILE = _row_tile(T)
-    n_tiles = T // ROW_TILE
+    R = _row_tile(T)
+    n_tiles = T // R
+    W = T + R
 
-    qf = q.reshape(B * h, T, qd).astype(jnp.float32)
-    kf = k.reshape(B * h, T, qd).astype(jnp.float32)
-    pf = p.reshape(B * h, T, pd).astype(jnp.float32)
-    pef = jnp.broadcast_to(pe[None], (B, h, 2 * T - 1, pd)).reshape(
-        B * h, 2 * T - 1, pd
-    ).astype(jnp.float32)
+    qf = q.reshape(B * h, T, qd)
+    kf = k.reshape(B * h, T, qd)
+    pf = p.reshape(B * h, T, pd)
+    # per-tile pe windows: tile i's rows read rel offsets
+    # [T-R-i*R, 2T-1-i*R); pad the table by one slack row so every window
+    # is the same width W = T+R (the slack is sliced off by [:, :T])
+    pe_pad = jnp.concatenate(
+        [pe, jnp.zeros((h, 1, pd), pe.dtype)], axis=1
+    )  # (h, 2T, pd)
+    pe_windows = jnp.stack(
+        [pe_pad[:, T - R - i * R : 2 * T - i * R, :] for i in range(n_tiles)],
+        axis=1,
+    )  # (h, n_tiles, W, pd)
     maskf = jnp.repeat(key_padding_mask, h, axis=0)[:, None, :]  # (B*h, 1, T)
 
     grid = (B * h, n_tiles)
@@ -137,18 +139,18 @@ def _rel_pos_attention_weights(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, ROW_TILE, qd), lambda b, i: (b, i, 0),
+                (1, R, qd), lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, T, qd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, ROW_TILE, pd), lambda b, i: (b, i, 0),
+                (1, R, pd), lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 2 * T - 1, pd), lambda b, i: (b, 0, 0),
+                (1, 1, W, pd), lambda b, i: (b % h, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -156,10 +158,10 @@ def _rel_pos_attention_weights(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, ROW_TILE, T), lambda b, i: (b, i, 0),
+            (1, R, T), lambda b, i: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B * h, T, T), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * h, T, T), q.dtype),
         interpret=interpret,
-    )(qf, kf, pf, pef, maskf)
+    )(qf, kf, pf, pe_windows, maskf)
     return out.reshape(B, h, T, T)

@@ -38,6 +38,7 @@ def make_train_step(
     dropout_rate: float = 0.1,
     mesh=None,
     model_kwargs: Optional[dict] = None,
+    jit: bool = True,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -87,6 +88,10 @@ def make_train_step(
             "grad_norm": optax.global_norm(grads),
         }
         return new_state, metrics
+
+    if not jit:
+        # raw step (e.g. to scan several steps inside one program)
+        return step_fn
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
