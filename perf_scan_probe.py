@@ -226,6 +226,50 @@ def main():
         p0, fn0 = module_fn(mod, {"x": (B, T, D)})
         timed_scan("feedforward", fn0, args.n, p0)
 
+    vocoder_probes(args, want)
+
+
+def vocoder_probes(args, want):
+    """Vocoder internals at bench shapes (B=8, T frames)."""
+    import perf_scan_probe as _self  # noqa: F401 (namespace consistency)
+    Bv, Tv = 8, args.t
+
+    if want("vocos"):
+        from zipvoice_tpu.vocoder.vocos import Vocos
+
+        voc = Vocos(dtype=DT)
+        p0, fn0 = module_fn(voc, {"mel": (Bv, Tv, 100)})
+        timed_scan("vocos full", fn0, args.n, p0)
+
+    if want("convnext"):
+        from zipvoice_tpu.vocoder.vocos import ConvNeXtBlock
+
+        blk = ConvNeXtBlock(dim=512, intermediate_dim=1536,
+                            layer_scale_init_value=1 / 8, dtype=DT)
+        p0, fn0 = module_fn(blk, {"x": (Bv, Tv, 512)})
+        timed_scan("convnext block", fn0, args.n, p0)
+
+    if want("istft"):
+        from zipvoice_tpu.ops.stft import istft
+
+        def istft_fn(p, key):
+            k1, k2 = jax.random.split(key)
+            re = jax.random.normal(k1, (Bv, Tv, 513), jnp.float32)
+            im = jax.random.normal(k2, (Bv, Tv, 513), jnp.float32)
+            return jnp.sum(jnp.abs(istft(re, im, 1024, 256, Tv * 256)))
+
+        timed_scan("istft", istft_fn, args.n)
+
+    if want("irfft"):
+        def irfft_fn(p, key):
+            k1, k2 = jax.random.split(key)
+            spec = jax.lax.complex(
+                jax.random.normal(k1, (Bv, Tv, 513), jnp.float32),
+                jax.random.normal(k2, (Bv, Tv, 513), jnp.float32),
+            )
+            return jnp.sum(jnp.abs(jnp.fft.irfft(spec, n=1024, axis=-1)))
+
+        timed_scan("irfft 1024", irfft_fn, args.n)
 
 if __name__ == "__main__":
     main()

@@ -101,6 +101,10 @@ def get_parser():
                    help="before training, run one step on the largest "
                         "bucket shape to surface OOM early (reference "
                         "--scan-oom, train_zipvoice.py:798-848)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="dump a jax.profiler trace of steps 10-14 into this "
+                        "dir (view with tensorboard/xprof); the reference "
+                        "has no profiler integration, SURVEY §5")
     p.add_argument("--print-diagnostics", action="store_true",
                    help="dump per-module activation statistics for one "
                         "batch and exit (reference --print-diagnostics)")
@@ -413,6 +417,7 @@ def main():
             logging.warning("tensorboard unavailable")
 
     # ---- loop -------------------------------------------------------------
+    profiling = False
     step_rng = jax.random.PRNGKey(args.seed + 1)
     tot_loss, tot_frames = 0.0, 0
     t_start = time.time()
@@ -465,6 +470,18 @@ def main():
             frames = int(batch["features_lens"].sum())
             tot_loss += loss * frames
             tot_frames += frames
+
+            if args.profile_dir and step == 10 and not profiling:
+                try:
+                    jax.profiler.start_trace(args.profile_dir)
+                    profiling = True
+                    logging.info(f"profiler: tracing to {args.profile_dir}")
+                except Exception as e:  # noqa: BLE001
+                    logging.warning(f"profiler unavailable: {e}")
+            elif profiling and step >= 14:
+                jax.profiler.stop_trace()
+                profiling = False
+                logging.info("profiler: trace saved")
 
             if step % args.log_interval == 0:
                 lr = float(schedule(step))
@@ -550,6 +567,8 @@ def main():
         checkpoint_io.save_checkpoint(str(path) + "-avg", model_avg)
         logging.info(f"saved {path}")
 
+    if profiling:
+        jax.profiler.stop_trace()
     logging.info("training done")
 
 
