@@ -50,7 +50,8 @@ def host_init_params(model, rng, **init_kwargs):
     return jax.tree.unflatten(treedef, out)
 
 
-def main(use_pallas: bool = False):
+def main(use_pallas: bool = False, num_step: int = 16,
+         gs: float = 1.0):
     from zipvoice_tpu.frontend.batch import pad_tokens
     from zipvoice_tpu.models.zipvoice import ZipVoice, strip_prompt
     from zipvoice_tpu.vocoder.vocos import Vocos
@@ -65,7 +66,6 @@ def main(use_pallas: bool = False):
     prompt_s, gen_s = 3.0, 10.0
     Tp = int(prompt_s * frames_per_sec)
     T = 1280
-    num_step, gs = 16, 1.0
 
     rng = np.random.RandomState(0)
     prompt_tokens = list(rng.randint(3, 300, size=30))
@@ -150,7 +150,11 @@ def main(use_pallas: bool = False):
     print(
         json.dumps(
             {
-                "metric": "rtf_zipvoice_base_16step_bf16_1chip_batch8",
+                "metric": (
+                    "rtf_zipvoice_base_16step_bf16_1chip_batch8"
+                    if num_step == 16
+                    else f"rtf_zipvoice_{num_step}step_bf16_1chip_batch8"
+                ),
                 "value": round(rtf, 5),
                 "unit": "rtf (wall_s per generated audio_s, incl. vocoder)",
                 "vs_baseline": round(0.05 / rtf, 3),
@@ -159,7 +163,8 @@ def main(use_pallas: bool = False):
     )
 
 
-def _run_pallas_child(timeout_s: float) -> bool:
+def _run_pallas_child(timeout_s: float, num_step: int = 16,
+                      gs: float = 1.0) -> bool:
     """Run the pallas-enabled measurement in a subprocess; relay its output.
     Returns True if it produced the JSON result line.  Isolation matters:
     a cold Mosaic compile can exceed any sane bench budget (~20 min/kernel
@@ -170,7 +175,8 @@ def _run_pallas_child(timeout_s: float) -> bool:
 
     try:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pallas", "on"],
+            [sys.executable, os.path.abspath(__file__), "--pallas", "on",
+             "--steps", str(num_step), "--guidance", str(gs)],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -197,11 +203,17 @@ if __name__ == "__main__":
                     help="auto: try the pallas attention kernel in a child "
                          "process (bounded), fall back to XLA on any failure")
     ap.add_argument("--pallas-timeout", type=float, default=2700.0)
+    ap.add_argument("--steps", type=int, default=16,
+                    help="ODE steps (4/8 = the distill model's budget)")
+    ap.add_argument("--guidance", type=float, default=None)
     args = ap.parse_args()
+    gs = args.guidance if args.guidance is not None else (
+        1.0 if args.steps == 16 else 3.0
+    )
     if args.pallas == "on":
-        main(use_pallas=True)
+        main(use_pallas=True, num_step=args.steps, gs=gs)
     elif args.pallas == "off":
-        main(use_pallas=False)
+        main(use_pallas=False, num_step=args.steps, gs=gs)
     else:
-        if not _run_pallas_child(args.pallas_timeout):
-            main(use_pallas=False)
+        if not _run_pallas_child(args.pallas_timeout, args.steps, gs):
+            main(use_pallas=False, num_step=args.steps, gs=gs)

@@ -44,6 +44,9 @@ def get_parser():
     p.add_argument("--seed", type=int, default=666)
     p.add_argument("--platform", type=str, default=None, choices=[None, "cpu"])
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--use-pallas-attention", action="store_true",
+                   help="fused pallas attention kernel at the top U-Net "
+                        "level (long first compile; persistently cached)")
     return p
 
 
@@ -70,7 +73,8 @@ def main():
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model, params, tokenizer = load_model_dir(
-        args.model_dir, args.model_name, dtype=dtype
+        args.model_dir, args.model_name, dtype=dtype,
+        use_pallas_attention=args.use_pallas_attention,
     )
     vocoder, vp = load_vocos(args.vocoder_path, dtype=dtype)
     if args.vocoder_path is None:
