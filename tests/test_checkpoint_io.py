@@ -70,3 +70,48 @@ def test_diagnostics_stats_and_finite():
         raise AssertionError("should have raised")
     except FloatingPointError:
         pass
+
+
+def test_generate_averaged_model_iter(tmp_path):
+    """--iter mode must average over EXISTING checkpoint-* saves (which land
+    at multiples of --save-every-n), not fabricate checkpoint-{iter-avg}
+    names (reference find_checkpoints semantics)."""
+    import os
+    import subprocess
+    import sys
+
+    from zipvoice_tpu.train.averaging import (
+        average_checkpoints_with_averaged_model,
+    )
+    from zipvoice_tpu.utils import checkpoint_io
+
+    period = 100
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    avgs = {}
+    for it in (500, 1000, 1500):
+        params = {"w": np.full((4,), float(it))}
+        avg = {"w": np.full((4,), float(it) / 2, np.float64)}
+        avgs[it] = avg
+        checkpoint_io.save_checkpoint(
+            str(exp / f"checkpoint-{it}"), params,
+            extra={"batch_idx_train": it, "average_period": period},
+        )
+        checkpoint_io.save_checkpoint(str(exp / f"checkpoint-{it}-avg"), avg)
+
+    out = tmp_path / "model"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "zipvoice_tpu.bin.generate_averaged_model",
+         "--exp-dir", str(exp), "--iter", "1500", "--avg", "2",
+         "--out", str(out)],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    got, _ = checkpoint_io.load_checkpoint(str(out))
+    want = average_checkpoints_with_averaged_model(
+        avgs[500], avgs[1500], 500, 1500, period
+    )
+    np.testing.assert_allclose(np.asarray(got["w"]), want["w"], rtol=1e-6)

@@ -40,8 +40,27 @@ def main():
         end_name = f"epoch-{args.epoch}"
         start_name = f"epoch-{args.epoch - args.avg}"
     else:
-        end_name = f"checkpoint-{args.iter}"
-        start_name = f"checkpoint-{args.iter - args.avg}"
+        # enumerate existing checkpoint-* saves (reference find_checkpoints,
+        # checkpoint.py) — iteration checkpoints land at multiples of
+        # --save-every-n, so stepping back by raw iteration count would name
+        # files that never existed.  start = `avg` saves before the end one.
+        import re
+
+        iters = sorted(
+            int(m.group(1))
+            for name in os.listdir(args.exp_dir)
+            if (m := re.fullmatch(r"checkpoint-(\d+)", name))
+            and int(m.group(1)) <= args.iter
+        )
+        assert iters, f"no checkpoint-* at or below {args.iter} in {args.exp_dir}"
+        end_iter = iters[-1]
+        assert len(iters) > args.avg, (
+            f"need {args.avg + 1} checkpoints at or below {args.iter}, "
+            f"found {len(iters)}: {iters}"
+        )
+        start_iter = iters[-1 - args.avg]
+        end_name = f"checkpoint-{end_iter}"
+        start_name = f"checkpoint-{start_iter}"
 
     def load(name):
         path = os.path.join(args.exp_dir, name)

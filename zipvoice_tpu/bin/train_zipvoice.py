@@ -102,9 +102,11 @@ def get_parser():
                         "bucket shape to surface OOM early (reference "
                         "--scan-oom, train_zipvoice.py:798-848)")
     p.add_argument("--profile-dir", type=str, default=None,
-                   help="dump a jax.profiler trace of steps 10-14 into this "
-                        "dir (view with tensorboard/xprof); the reference "
-                        "has no profiler integration, SURVEY §5")
+                   help="dump a jax.profiler trace of batches 10-14 of this "
+                        "run (counted from invocation, so it also fires on "
+                        "resumed runs) into this dir (view with "
+                        "tensorboard/xprof); the reference has no profiler "
+                        "integration, SURVEY §5")
     p.add_argument("--print-diagnostics", action="store_true",
                    help="dump per-module activation statistics for one "
                         "batch and exit (reference --print-diagnostics)")
@@ -418,6 +420,7 @@ def main():
 
     # ---- loop -------------------------------------------------------------
     profiling = False
+    batches_this_run = 0
     step_rng = jax.random.PRNGKey(args.seed + 1)
     tot_loss, tot_frames = 0.0, 0
     t_start = time.time()
@@ -471,14 +474,17 @@ def main():
             tot_loss += loss * frames
             tot_frames += frames
 
-            if args.profile_dir and step == 10 and not profiling:
+            # trace batches 10-14 of THIS invocation (a resumed run's global
+            # step never equals 10, so the trigger is run-local)
+            batches_this_run += 1
+            if args.profile_dir and batches_this_run == 10 and not profiling:
                 try:
                     jax.profiler.start_trace(args.profile_dir)
                     profiling = True
                     logging.info(f"profiler: tracing to {args.profile_dir}")
                 except Exception as e:  # noqa: BLE001
                     logging.warning(f"profiler unavailable: {e}")
-            elif profiling and step >= 14:
+            elif profiling and batches_this_run >= 15:
                 jax.profiler.stop_trace()
                 profiling = False
                 logging.info("profiler: trace saved")
@@ -510,10 +516,16 @@ def main():
                            "batch_idx_train": step,
                            "average_period": args.average_period},
                 )
+                # every checkpoint carries its running average so
+                # generate_averaged_model --iter works on iteration saves
+                # (reference embeds model_avg in every checkpoint,
+                # checkpoint.py:38-104)
+                checkpoint_io.save_checkpoint(str(path) + "-avg", model_avg)
                 saved_iters.append(path)
                 while len(saved_iters) > args.keep_last_k:
                     old = saved_iters.pop(0)
                     shutil.rmtree(old, ignore_errors=True)
+                    shutil.rmtree(str(old) + "-avg", ignore_errors=True)
 
             if args.num_iters and step >= args.num_iters:
                 break
@@ -546,13 +558,14 @@ def main():
                     )
 
         if args.num_iters and int(state.step) >= args.num_iters:
+            final = exp_dir / f"checkpoint-{int(state.step)}"
             checkpoint_io.save_checkpoint(
-                str(exp_dir / f"checkpoint-{int(state.step)}"),
-                jax.device_get(state),
+                str(final), jax.device_get(state),
                 extra={"sampler": sampler.state_dict(),
                        "batch_idx_train": int(state.step),
                        "average_period": args.average_period},
             )
+            checkpoint_io.save_checkpoint(str(final) + "-avg", model_avg)
             logging.info(f"reached --num-iters {args.num_iters}; stopping")
             break
 

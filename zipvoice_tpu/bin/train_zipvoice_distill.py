@@ -59,6 +59,10 @@ def main():
     from zipvoice_tpu.frontend.tokenizer import get_tokenizer
     from zipvoice_tpu.models.zipvoice import ZipVoice
     from zipvoice_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+    from zipvoice_tpu.train.averaging import (
+        init_model_avg,
+        update_averaged_model,
+    )
     from zipvoice_tpu.train.distill import ema_update, make_distill_train_step
     from zipvoice_tpu.train.optim import eden_schedule, scaled_adam
     from zipvoice_tpu.train.train_step import TrainState, init_train_state
@@ -144,6 +148,7 @@ def main():
     )
 
     state = init_train_state(params, tx)
+    model_avg = init_model_avg(params)
     state = TrainState(
         params=replicate_tree(state.params, mesh),
         opt_state=replicate_tree(state.opt_state, mesh),
@@ -181,26 +186,38 @@ def main():
                     f"frames/s {tot_frames / max(time.time() - t0, 1e-9):.0f}"
                 )
                 tot_loss, tot_frames, t0 = 0.0, 0, time.time()
-            if args.save_every_n > 0 and step % args.save_every_n == 0:
-                checkpoint_io.save_checkpoint(
-                    str(exp_dir / f"checkpoint-{step}"),
-                    jax.device_get(state),
-                    extra={"batch_idx_train": step},
+            if step % args.average_period == 0:
+                model_avg = update_averaged_model(
+                    model_avg, jax.device_get(state.params), step,
+                    args.average_period,
                 )
+            if args.save_every_n > 0 and step % args.save_every_n == 0:
+                path = exp_dir / f"checkpoint-{step}"
+                checkpoint_io.save_checkpoint(
+                    str(path), jax.device_get(state),
+                    extra={"batch_idx_train": step,
+                           "average_period": args.average_period},
+                )
+                checkpoint_io.save_checkpoint(str(path) + "-avg", model_avg)
             if args.num_iters and step >= args.num_iters:
                 break
         if args.num_iters and int(state.step) >= args.num_iters:
+            final = exp_dir / f"checkpoint-{int(state.step)}"
             checkpoint_io.save_checkpoint(
-                str(exp_dir / f"checkpoint-{int(state.step)}"),
-                jax.device_get(state),
-                extra={"batch_idx_train": int(state.step)},
+                str(final), jax.device_get(state),
+                extra={"batch_idx_train": int(state.step),
+                       "average_period": args.average_period},
             )
+            checkpoint_io.save_checkpoint(str(final) + "-avg", model_avg)
             logging.info(f"reached --num-iters {args.num_iters}; stopping")
             break
+        path = exp_dir / f"epoch-{epoch}"
         checkpoint_io.save_checkpoint(
-            str(exp_dir / f"epoch-{epoch}"), jax.device_get(state),
-            extra={"batch_idx_train": int(state.step)},
+            str(path), jax.device_get(state),
+            extra={"batch_idx_train": int(state.step),
+                   "average_period": args.average_period},
         )
+        checkpoint_io.save_checkpoint(str(path) + "-avg", model_avg)
         logging.info(f"saved epoch-{epoch}")
     logging.info("distillation done")
 

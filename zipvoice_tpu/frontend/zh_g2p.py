@@ -252,6 +252,7 @@ class PinyinLexicon:
     def load_file(self, path: str):
         """Load a TSV (word<TAB>py1 py2 ...) or CC-CEDICT file."""
         n = 0
+        loaded_this_file = set()
         with open(path, encoding="utf-8") as f:
             for line in f:
                 line = line.strip()
@@ -272,9 +273,15 @@ class PinyinLexicon:
                         for s in m.group(3).split()
                     ]
                     if None not in sylls and len(sylls) == len(simp):
-                        # first entry wins (CC-CEDICT lists common first)
-                        if simp not in self.table or len(simp) > 1:
+                        # first file entry wins (CC-CEDICT lists common
+                        # readings first); multi-char file entries may
+                        # override the seed table but never earlier
+                        # entries from the same file
+                        if simp not in loaded_this_file and (
+                            simp not in self.table or len(simp) > 1
+                        ):
                             self._add(simp, sylls)
+                            loaded_this_file.add(simp)
                             n += 1
         logging.info(f"pinyin lexicon: loaded {n} entries from {path}")
 

@@ -235,7 +235,10 @@ class RelPosAttentionWeights(nn.Module):
 
         from zipvoice_tpu.ops import pallas_attention as _pa
 
-        if (self.use_pallas and T % 8 == 0
+        # the kernel path is inference-only for now: pallas_call has no VJP
+        # here, and taking it under train would also skip the failsafe
+        # penalize_abs_values_gt score regularizer below
+        if (self.use_pallas and not train and T % 8 == 0
                 and T >= _pa.MIN_SEQ_LEN):
             from zipvoice_tpu.ops.pallas_attention import (
                 rel_pos_attention_weights,
