@@ -63,7 +63,20 @@ def get_parser():
                    help="if >0, stop after this many optimizer steps "
                         "(reference --num-iters, used by finetune/distill)")
     p.add_argument("--condition-drop-ratio", type=float, default=0.2)
-    p.add_argument("--dropout-rate", type=float, default=0.1)
+    p.add_argument("--dropout-rate", type=float, default=None,
+                   help="Static dropout override; default follows the "
+                        "reference's scheduled 0.3->0.1/20k ramp")
+    p.add_argument("--no-schedules", dest="schedules", action="store_false",
+                   default=True,
+                   help="Disable the batch-count training schedules "
+                        "(scheduled dropout, module skipping, const-attention"
+                        ", bypass clamping, scheduled regularizer bounds)")
+    p.add_argument("--ref-duration", type=float, default=50.0,
+                   help="Reference batch duration for the schedule clock "
+                        "(reference train_zipvoice.py:195-202)")
+    p.add_argument("--finetune", action="store_true",
+                   help="Shift the schedule clock past every ramp (+100k "
+                        "batches, reference train_zipvoice.py:553-557)")
     p.add_argument("--feat-scale", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=42)
     # infra
@@ -290,18 +303,44 @@ def main():
     else:
         # initialize on the host CPU backend (exact initializers, no
         # accelerator compile), then transfer
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            params = model.init(
-                {"params": rng},
-                tokens=jnp.asarray(sample_batch["tokens"]),
-                tokens_lens=jnp.asarray(sample_batch["tokens_lens"]),
-                features=jnp.asarray(sample_batch["features"]),
-                features_lens=jnp.asarray(sample_batch["features_lens"]),
-                noise=jnp.zeros((B, T, F)),
-                t=jnp.full((B, 1, 1), 0.5),
-                rng=jax.random.PRNGKey(0),
-                train=False,
-            )["params"]
+        def _init(features, noise, **kw):
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                return model.init(
+                    {"params": rng},
+                    tokens=jnp.asarray(sample_batch["tokens"]),
+                    tokens_lens=jnp.asarray(sample_batch["tokens_lens"]),
+                    features=features,
+                    features_lens=jnp.asarray(sample_batch["features_lens"]),
+                    noise=noise,
+                    t=jnp.full((B, 1, 1), 0.5),
+                    rng=jax.random.PRNGKey(0),
+                    train=False,
+                    **kw,
+                )["params"]
+
+        params = _init(
+            jnp.asarray(sample_batch["features"]), jnp.zeros((B, T, F))
+        )
+        if args.model_name == "zipvoice_dialog_stereo":
+            # two-stream from-scratch init: @nn.compact only creates the
+            # projection pair the init input exercises, so init again at the
+            # mixed single-channel width and graft in the second pair (the
+            # trunk params are identical — same rng, same module paths; the
+            # reference creates both pairs structurally,
+            # zipvoice_dialog.py:241-256 / zipformer_two_stream.py:161-167)
+            Fm = F // 2
+            params_mixed = _init(
+                jnp.asarray(sample_batch["features"][:, :, :Fm]),
+                jnp.zeros((B, T, Fm)),
+                se_weight=0.0,
+            )
+
+            from zipvoice_tpu.utils.structural_loaders import graft_missing
+
+            params = jax.tree.map(lambda x: x, params)  # mutable copy
+            graft_missing(params, params_mixed)
+            logging.info("stereo from-scratch init: grafted the mixed "
+                         "single-channel projection pair")
         params = jax.device_get(params)
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logging.info(f"model parameters: {n_params / 1e6:.1f}M")
@@ -348,10 +387,28 @@ def main():
     mesh = make_mesh(n_data=args.num_data_parallel)
     logging.info(f"mesh: {mesh}")
     stereo = args.model_name == "zipvoice_dialog_stereo"
+    # schedule clock settings (reference common.py:310-317): the adjusted
+    # batch count is derived in-graph from the optimizer step, so schedules
+    # run inside one compiled program.  Any checkpoint/dialog/stereo init is
+    # a finetune in the reference's sense.
+    finetune = args.finetune or bool(
+        args.checkpoint or args.init_from_base or args.init_from_dialog
+    )
+    # each process draws its own sampler batch of max_duration seconds and
+    # shards it over its local devices, so the effective step duration is
+    # max_duration * process_count (the reference's max_duration*world_size)
+    sched_kw = dict(
+        schedules=args.schedules,
+        max_duration=args.max_duration,
+        world_size=jax.process_count(),
+        ref_duration=args.ref_duration,
+        finetune=finetune,
+    )
     train_step = make_train_step(
         model, tx, condition_drop_ratio=args.condition_drop_ratio,
         dropout_rate=args.dropout_rate, mesh=mesh,
         model_kwargs={"se_weight": 1.0} if stereo else None,
+        **sched_kw,
     )
     if stereo:
         # alternate with the mixed single-channel objective
@@ -360,6 +417,7 @@ def main():
             model, tx, condition_drop_ratio=args.condition_drop_ratio,
             dropout_rate=args.dropout_rate, mesh=mesh,
             model_kwargs={"se_weight": 0.0},
+            **sched_kw,
         )
         dataset_mixed = SpeechSynthesisDataset(
             tokenizer=tokenizer, on_the_fly_feats=args.on_the_fly_feats,

@@ -47,13 +47,14 @@ class ZipVoiceDialog(ZipVoice):
         return jnp.where(tokens == self.pad_id, -1, spk_mask)
 
     def forward_text_embed(
-        self, tokens, tokens_lens, train: bool = False, dropout_rate: float = 0.0
+        self, tokens, tokens_lens, train: bool = False, dropout_rate=0.0,
+        batch_count=None,
     ):
         embed = self.embed(tokens)
         mask = make_pad_mask(tokens_lens, tokens.shape[1])
         embed = self.text_encoder(
             embed, t=None, padding_mask=mask, train=train,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, batch_count=batch_count,
         )
         spk = self.spk_indices(tokens)
         table = self.spk_embed.embedding.astype(embed.dtype)
@@ -73,12 +74,14 @@ class ZipVoiceDialog(ZipVoice):
         speech_condition_mask: Optional[jax.Array] = None,
         rng: Optional[jax.Array] = None,
         train: bool = True,
-        dropout_rate: float = 0.0,
+        dropout_rate=0.0,
+        batch_count=None,
     ):
         """Training loss with the dialog suffix mask (reference :161-215)."""
         T = features.shape[1]
         embed = self.forward_text_embed(
-            tokens, tokens_lens, train=train, dropout_rate=dropout_rate
+            tokens, tokens_lens, train=train, dropout_rate=dropout_rate,
+            batch_count=batch_count,
         )
         text_condition, padding_mask = upsample_text_embed(
             embed, tokens_lens, features_lens, T
@@ -99,7 +102,7 @@ class ZipVoiceDialog(ZipVoice):
         vt = self.forward_fm_decoder(
             t=t.reshape(-1), xt=xt, text_condition=text_condition,
             speech_condition=speech_condition, padding_mask=padding_mask,
-            train=train, dropout_rate=dropout_rate,
+            train=train, dropout_rate=dropout_rate, batch_count=batch_count,
         )
         loss_mask = speech_condition_mask & (~padding_mask)
         se = jnp.sum(jnp.square(vt - ut) * loss_mask[:, :, None])
@@ -150,7 +153,8 @@ class ZipVoiceDialogStereo(ZipVoiceDialog):
         speech_condition_mask: Optional[jax.Array] = None,
         rng: Optional[jax.Array] = None,
         train: bool = True,
-        dropout_rate: float = 0.0,
+        dropout_rate=0.0,
+        batch_count=None,
         se_weight: float = 1.0,
     ):
         """Training loss: flow matching + speaker-exclusive energy loss
@@ -158,7 +162,8 @@ class ZipVoiceDialogStereo(ZipVoiceDialog):
         objective (se_weight>0) or (B, T, F) mixed (se_weight=0)."""
         T = features.shape[1]
         embed = self.forward_text_embed(
-            tokens, tokens_lens, train=train, dropout_rate=dropout_rate
+            tokens, tokens_lens, train=train, dropout_rate=dropout_rate,
+            batch_count=batch_count,
         )
         text_condition, padding_mask = upsample_text_embed(
             embed, tokens_lens, features_lens, T
@@ -179,7 +184,7 @@ class ZipVoiceDialogStereo(ZipVoiceDialog):
         vt = self.forward_fm_decoder(
             t=t.reshape(-1), xt=xt, text_condition=text_condition,
             speech_condition=speech_condition, padding_mask=padding_mask,
-            train=train, dropout_rate=dropout_rate,
+            train=train, dropout_rate=dropout_rate, batch_count=batch_count,
         )
         loss_mask = speech_condition_mask & (~padding_mask)
         se = jnp.sum(jnp.square(vt - ut) * loss_mask[:, :, None])

@@ -34,6 +34,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from zipvoice_tpu.ops import schedule as sched
 from zipvoice_tpu.ops.scaling import (
     balancer,
     bias_norm,
@@ -53,6 +54,36 @@ def _stochastic(module: nn.Module, prob: float, fn, x):
     regularized path only when the coin lands.  Uses the 'reg' rng."""
     apply = jax.random.bernoulli(module.make_rng("reg"), prob)
     return jnp.where(apply, fn(x), x)
+
+
+def _rand_uniform(rng, shape):
+    """Single entry point for all schedule-driven stochastic draws (sequence
+    skips, const-attention / pos-emb coins, scheduled dropout); tests pin it
+    to a constant to get deterministic grad parity vs the reference."""
+    return jax.random.uniform(rng, shape)
+
+
+def _seq_skip_mask(module, batch_size, rate, dtype):
+    """Per-sequence keep mask, shape (B, 1, 1): 1 keeps the sequence, 0
+    drops the submodule's contribution for it (reference
+    zipformer.py:463-487 get_sequence_dropout_mask; no 1/(1-p) rescale)."""
+    u = _rand_uniform(module.make_rng("skip"), (batch_size, 1, 1))
+    return (u > rate).astype(dtype)
+
+
+def _shared_dropout(module, x, rate):
+    """Dropout with the mask shared along the time axis (axis 1) and the
+    torch 1/(1-p) rescale, accepting a traced rate (the reference's
+    scheduled ``dropout_shared_dim=0`` dropout, scaling.py:1209-1360)."""
+    B, _, C = x.shape
+    keep = (
+        _rand_uniform(module.make_rng("dropout"), (B, 1, C)) >= rate
+    ).astype(x.dtype)
+    return x * keep / (1.0 - rate)
+
+
+def _static_zero(v) -> bool:
+    return isinstance(v, (int, float)) and float(v) == 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -175,18 +206,32 @@ class BiasNorm(nn.Module):
 class BypassModule(nn.Module):
     """Learnable per-channel bypass scale (reference zipformer.py:747-804).
 
-    Eval path only; the train-time clamp (limit_param_value on scale_min/max)
-    and layer-skip are handled by the training wrapper.
+    When training with an active batch count, the scale is clamped to the
+    scheduled [scale_min, 1.0] window via limit_param_value (reference
+    :770-782) and, if ``skip_rate`` is set (the per-layer layerdrop ramp,
+    :692-698), whole sequences randomly bypass the module (:783-788).
     """
 
     embed_dim: int
+    skip_rate: Optional[sched.ScheduledFloat] = None
 
     @nn.compact
-    def __call__(self, src_orig, src):
+    def __call__(self, src_orig, src, *, train: bool = False,
+                 batch_count=None):
         scale = self.param(
             "bypass_scale", lambda k, s: jnp.full(s, 0.5, jnp.float32),
             (self.embed_dim,),
         )
+        if train and batch_count is not None:
+            scale = limit_param_value(
+                scale, sched.BYPASS_SCALE_MIN(batch_count), 1.0
+            )
+            if self.skip_rate is not None:
+                B = src.shape[0]
+                mask = _seq_skip_mask(
+                    self, B, self.skip_rate(batch_count), scale.dtype
+                )
+                scale = scale * mask  # (B, 1, C): zero => skip this layer
         return src_orig + (src - src_orig) * scale
 
 
@@ -208,7 +253,7 @@ class RelPosAttentionWeights(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_emb, key_padding_mask=None,
-                 train: bool = False):
+                 train: bool = False, batch_count=None):
         h, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
         B, T, _ = x.shape
         proj = dense(
@@ -224,7 +269,11 @@ class RelPosAttentionWeights(nn.Module):
                 lambda t: balancer(t, 0.4, 0.6, 0.0, 100.0, 0.04), k,
             )
             k = _stochastic(
-                self, 0.15, lambda t: whiten(t, h, 3.0, 0.025), k
+                self, 0.15,
+                lambda t: whiten(
+                    t, h, sched.WHITEN_KEYS(batch_count), 0.025
+                ),
+                k,
             )
         p = proj[..., 2 * h * qd :].reshape(B, T, h, pd)
 
@@ -278,6 +327,15 @@ class RelPosAttentionWeights(nn.Module):
             flat, T - 1, T - 1 + T * (2 * T - 1), axis=-1
         )
         pos_scores = flat.reshape(B, h, T, 2 * T - 1)[..., :T]
+        if train and batch_count is not None:
+            # scheduled pos-emb skip: with prob pos_emb_skip_rate the pos
+            # term is dropped for this whole forward call (reference
+            # zipformer.py:1207-1227 uses a python random() coin)
+            use_pos = (
+                _rand_uniform(self.make_rng("skip"), ())
+                >= sched.POS_EMB_SKIP(batch_count)
+            )
+            pos_scores = pos_scores * use_pos.astype(pos_scores.dtype)
         attn_scores = attn_scores + pos_scores
 
         if train:
@@ -308,7 +366,8 @@ class SelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_weights, train: bool = False):
+    def __call__(self, x, attn_weights, train: bool = False,
+                 batch_count=None):
         B, T, _ = x.shape
         h, vd = self.num_heads, self.value_head_dim
         v = dense(h * vd, self.embed_dim, dtype=self.dtype, name="in_proj")(x)
@@ -322,7 +381,11 @@ class SelfAttention(nn.Module):
         if train:
             # whiten (reference zipformer.py:1352-1357)
             out = _stochastic(
-                self, 0.15, lambda v: whiten(v, 1, 7.5, 0.01), out
+                self, 0.15,
+                lambda v: whiten(
+                    v, 1, sched.WHITEN_SELF_ATTN(batch_count), 0.01
+                ),
+                out,
             )
         return out
 
@@ -338,7 +401,8 @@ class NonlinAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_weights_head0, train: bool = False):
+    def __call__(self, x, attn_weights_head0, train: bool = False,
+                 batch_count=None):
         # attn_weights_head0: (B, T, T)
         proj = dense(
             self.hidden_channels * 3, self.channels, dtype=self.dtype,
@@ -346,15 +410,26 @@ class NonlinAttention(nn.Module):
         )(x)
         s, v, y = jnp.split(proj, 3, axis=-1)
         if train:
-            # pre-tanh balancer (reference zipformer.py:1467-1474)
+            # pre-tanh balancer w/ scheduled positivity bounds (reference
+            # zipformer.py:1467-1474)
             s = _stochastic(
-                self, 0.25,
-                lambda t: balancer(t, 0.05, 0.95, 0.5, 5.0, 0.04), s,
+                self, sched.BALANCER_PROB(batch_count),
+                lambda t: balancer(
+                    t,
+                    sched.NONLIN_MIN_POSITIVE(batch_count),
+                    sched.NONLIN_MAX_POSITIVE(batch_count),
+                    0.5, 5.0, 0.04,
+                ),
+                s,
             )
         v = v * jnp.tanh(s)
         if train:
             v = _stochastic(
-                self, 0.15, lambda t: whiten(t, 1, 5.0, 0.01), v
+                self, 0.15,
+                lambda t: whiten(
+                    t, 1, sched.WHITEN_NONLIN(batch_count), 0.01
+                ),
+                v,
             )
         v = jnp.einsum("bts,bsd->btd", attn_weights_head0, v)
         v = v * y
@@ -364,7 +439,11 @@ class NonlinAttention(nn.Module):
         )(v)
         if train:
             v = _stochastic(
-                self, 0.15, lambda t: whiten(t, 1, 5.0, 0.01), v
+                self, 0.15,
+                lambda t: whiten(
+                    t, 1, sched.WHITEN_NONLIN2(batch_count), 0.01
+                ),
+                v,
             )
         return v
 
@@ -377,22 +456,22 @@ class FeedforwardModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, dropout_rate: float = 0.0):
+    def __call__(self, x, *, train: bool = False, dropout_rate=0.0,
+                 batch_count=None):
         x = dense(
             self.feedforward_dim, self.embed_dim, dtype=self.dtype, name="in_proj"
         )(x)
         if train:
             # hidden_balancer (reference zipformer.py:1406-1413)
             x = _stochastic(
-                self, 0.25,
+                self, sched.BALANCER_PROB(batch_count),
                 lambda v: balancer(v, 0.3, 1.0, 0.75, 5.0, 0.04), x,
             )
         x = swoosh_l(x)
-        if train and dropout_rate > 0.0:
-            # shared along the time axis (reference dropout_shared_dim=0)
-            x = nn.Dropout(
-                rate=dropout_rate, broadcast_dims=(1,), deterministic=False
-            )(x)
+        if train and not _static_zero(dropout_rate):
+            # shared along the time axis (reference dropout_shared_dim=0);
+            # dropout_rate may be a traced scheduled scalar
+            x = _shared_dropout(self, x, dropout_rate)
         x = dense(
             self.embed_dim, self.feedforward_dim, initial_scale=0.1,
             dtype=self.dtype, name="out_proj",
@@ -400,7 +479,9 @@ class FeedforwardModule(nn.Module):
         if train:
             # out_whiten (reference zipformer.py:1426-1431)
             x = _stochastic(
-                self, 0.15, lambda v: whiten(v, 1, 7.5, 0.01), x
+                self, 0.15,
+                lambda v: whiten(v, 1, sched.WHITEN_FF(batch_count), 0.01),
+                x,
             )
         return x
 
@@ -415,15 +496,24 @@ class ConvolutionModule(nn.Module):
     pallas_interpret: bool = False  # CPU-test hook
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None, train: bool = False):
+    def __call__(self, x, key_padding_mask=None, train: bool = False,
+                 batch_count=None):
         C, k = self.channels, self.kernel_size
         proj = dense(2 * C, C, dtype=self.dtype, name="in_proj")(x)
         v, s = jnp.split(proj, 2, axis=-1)
         if train:
-            # balancer1 before the sigmoid gate (reference :1589-1596)
+            # balancer1 before the sigmoid gate, scheduled min_positive /
+            # max_abs (reference :1589-1596)
             s = _stochastic(
-                self, 0.25,
-                lambda t: balancer(t, 0.025, 1.0, 1.5, 10.0, 0.04), s,
+                self, sched.BALANCER_PROB(batch_count),
+                lambda t: balancer(
+                    t,
+                    sched.CONV_B1_MIN_POSITIVE(batch_count),
+                    1.0, 1.5,
+                    sched.CONV_B1_MAX_ABS(batch_count),
+                    0.04,
+                ),
+                s,
             )
         v = v * jax.nn.sigmoid(s)
         if key_padding_mask is not None:
@@ -452,14 +542,23 @@ class ConvolutionModule(nn.Module):
                 feature_group_count=C,
             ) + b.astype(self.dtype)
         if train:
-            # balancer2 + whiten after the depthwise conv (reference
-            # :1614-1628)
+            # balancer2 + whiten after the depthwise conv, scheduled
+            # min_positive / min_abs / whitening limit (reference :1614-1628)
             v = _stochastic(
-                self, 0.25,
-                lambda t: balancer(t, 0.05, 1.0, 0.5, 10.0, 0.04), v,
+                self, sched.BALANCER_PROB(batch_count),
+                lambda t: balancer(
+                    t,
+                    sched.CONV_B2_MIN_POSITIVE(batch_count),
+                    1.0,
+                    sched.CONV_B2_MIN_ABS(batch_count),
+                    10.0, 0.04,
+                ),
+                v,
             )
             v = _stochastic(
-                self, 0.15, lambda t: whiten(t, 1, 7.5, 0.01), v
+                self, 0.15,
+                lambda t: whiten(t, 1, sched.WHITEN_CONV(batch_count), 0.01),
+                v,
             )
         v = swoosh_r(v)
         return dense(
@@ -482,6 +581,18 @@ class ZipformerEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
     use_pallas_conv: bool = False
+    # per-layer layerdrop ramp (set by ZipformerEncoder; reference :692-698)
+    bypass_skip_rate: Optional[sched.ScheduledFloat] = None
+
+    def _skip(self, x, rate_schedule, batch_count):
+        """Scheduled sequence-level dropout of a submodule's contribution
+        (reference sequence_dropout, zipformer.py:481-487)."""
+        if batch_count is None:
+            return x
+        mask = _seq_skip_mask(
+            self, x.shape[0], rate_schedule(batch_count), x.dtype
+        )
+        return x * mask
 
     @nn.compact
     def __call__(
@@ -492,10 +603,13 @@ class ZipformerEncoderLayer(nn.Module):
         key_padding_mask=None,
         *,
         train: bool = False,
-        dropout_rate: float = 0.0,
+        dropout_rate=0.0,
+        batch_count=None,
     ):
         d = self.embed_dim
         src_orig = src
+        scheds_on = train and batch_count is not None
+        bc = batch_count if train else None
 
         attn_weights = RelPosAttentionWeights(
             embed_dim=d,
@@ -506,9 +620,9 @@ class ZipformerEncoderLayer(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas_attention,
             name="self_attn_weights",
-        )(src, pos_emb, key_padding_mask, train=train)
+        )(src, pos_emb, key_padding_mask, train=train, batch_count=bc)
 
-        ff_kw = dict(train=train, dropout_rate=dropout_rate)
+        ff_kw = dict(train=train, dropout_rate=dropout_rate, batch_count=bc)
 
         if time_emb is not None:
             src = src + time_emb
@@ -517,90 +631,145 @@ class ZipformerEncoderLayer(nn.Module):
             dtype=self.dtype, name="feed_forward1",
         )(src, **ff_kw)
 
+        # one sequence-level skip mask shared by nonlin-attention and both
+        # self-attention applications (reference zipformer.py:538-540)
+        attn_skip_mask = None
+        if scheds_on:
+            attn_skip_mask = _seq_skip_mask(
+                self, src.shape[0], sched.ATTENTION_SKIP(batch_count),
+                src.dtype,
+            )
+
+        # head-0 weights consumed by NonlinAttention; under the scheduled
+        # const-attention coin they become a uniform average over the
+        # positions the softmax kept (reference zipformer.py:542-556)
+        sel_weights = attn_weights[:, 0]
+        if scheds_on:
+            coin = (
+                _rand_uniform(self.make_rng("skip"), ())
+                < sched.CONST_ATTENTION(batch_count)
+            )
+            nonzero = (sel_weights > 0.0).astype(sel_weights.dtype)
+            const_w = nonzero / jnp.sum(nonzero, axis=-1, keepdims=True)
+            sel_weights = jnp.where(coin, const_w, sel_weights)
+
         na = NonlinAttention(
             channels=d, hidden_channels=3 * d // 4, dtype=self.dtype,
             name="nonlin_attention",
-        )(src, attn_weights[:, 0], train=train)
+        )(src, sel_weights, train=train, batch_count=bc)
         if train:
-            # balancer_na (reference zipformer.py:416-423)
+            # balancer_na, scheduled min_abs (reference zipformer.py:416-423)
             na = _stochastic(
                 self, 0.05,
-                lambda t: balancer(t, 0.3, 0.7, 0.02, 100.0, 0.04), na,
+                lambda t: balancer(
+                    t, 0.3, 0.7, sched.BALANCER_NA_MIN_ABS(bc), 100.0, 0.04
+                ),
+                na,
             )
+        if attn_skip_mask is not None:
+            na = na * attn_skip_mask
         src = src + na
 
-        src = src + SelfAttention(
+        self_attn = SelfAttention(
             embed_dim=d, num_heads=self.num_heads,
             value_head_dim=self.value_head_dim, dtype=self.dtype,
             name="self_attn1",
-        )(src, attn_weights, train=train)
+        )(src, attn_weights, train=train, batch_count=bc)
+        if attn_skip_mask is not None:
+            self_attn = self_attn * attn_skip_mask
+        src = src + self_attn
 
         if self.use_conv:
             if time_emb is not None:
                 src = src + time_emb
-            src = src + ConvolutionModule(
+            conv = ConvolutionModule(
                 channels=d, kernel_size=self.cnn_module_kernel,
                 dtype=self.dtype, use_pallas=self.use_pallas_conv,
                 name="conv_module1",
-            )(src, key_padding_mask, train=train)
+            )(src, key_padding_mask, train=train, batch_count=bc)
+            if scheds_on:
+                conv = self._skip(conv, sched.CONV_SKIP, batch_count)
+            src = src + conv
 
         ff2 = FeedforwardModule(
             embed_dim=d, feedforward_dim=self.feedforward_dim,
             dtype=self.dtype, name="feed_forward2",
         )(src, **ff_kw)
         if train:
-            # balancer_ff2 (reference zipformer.py:428-436)
+            # balancer_ff2, scheduled min_abs (reference zipformer.py:428-436)
             ff2 = _stochastic(
                 self, 0.05,
-                lambda t: balancer(t, 0.3, 0.7, 0.1, 2.0, 0.04), ff2,
+                lambda t: balancer(
+                    t, 0.3, 0.7, sched.BALANCER_FF2_MIN_ABS(bc), 2.0, 0.04
+                ),
+                ff2,
             )
+        if scheds_on:
+            ff2 = self._skip(ff2, sched.FF2_SKIP, batch_count)
         src = src + ff2
 
-        src = BypassModule(embed_dim=d, name="bypass_mid")(src_orig, src)
+        src = BypassModule(embed_dim=d, name="bypass_mid")(
+            src_orig, src, train=train, batch_count=bc
+        )
 
-        src = src + SelfAttention(
+        self_attn = SelfAttention(
             embed_dim=d, num_heads=self.num_heads,
             value_head_dim=self.value_head_dim, dtype=self.dtype,
             name="self_attn2",
-        )(src, attn_weights, train=train)
+        )(src, attn_weights, train=train, batch_count=bc)
+        if attn_skip_mask is not None:
+            self_attn = self_attn * attn_skip_mask
+        src = src + self_attn
 
         if self.use_conv:
             if time_emb is not None:
                 src = src + time_emb
-            src = src + ConvolutionModule(
+            conv = ConvolutionModule(
                 channels=d, kernel_size=self.cnn_module_kernel,
                 dtype=self.dtype, use_pallas=self.use_pallas_conv,
                 name="conv_module2",
-            )(src, key_padding_mask, train=train)
+            )(src, key_padding_mask, train=train, batch_count=bc)
+            if scheds_on:
+                conv = self._skip(conv, sched.CONV_SKIP, batch_count)
+            src = src + conv
 
         ff3 = FeedforwardModule(
             embed_dim=d, feedforward_dim=(self.feedforward_dim * 5) // 4,
             dtype=self.dtype, name="feed_forward3",
         )(src, **ff_kw)
         if train:
-            # balancer_ff3 (reference zipformer.py:438-446)
+            # balancer_ff3, scheduled min_abs (reference zipformer.py:438-446)
             ff3 = _stochastic(
                 self, 0.05,
-                lambda t: balancer(t, 0.3, 0.7, 0.2, 4.0, 0.04), ff3,
+                lambda t: balancer(
+                    t, 0.3, 0.7, sched.BALANCER_FF3_MIN_ABS(bc), 4.0, 0.04
+                ),
+                ff3,
             )
+        if scheds_on:
+            ff3 = self._skip(ff3, sched.FF3_SKIP, batch_count)
         src = src + ff3
 
         if train:
             # balancer1 (reference zipformer.py:406-413)
             src = _stochastic(
-                self, 0.25,
+                self, sched.BALANCER_PROB(bc),
                 lambda t: balancer(t, 0.45, 0.55, 0.2, 4.0, 0.04), src,
             )
         src = BiasNorm(num_channels=d, name="norm")(src)
-        src = BypassModule(embed_dim=d, name="bypass")(src_orig, src)
+        src = BypassModule(
+            embed_dim=d, skip_rate=self.bypass_skip_rate, name="bypass"
+        )(src_orig, src, train=train, batch_count=bc)
         if train:
-            # balancer2 + whiten (reference zipformer.py:448-462,640)
+            # balancer2 + whiten w/ scheduled limit (reference
+            # zipformer.py:448-462,640)
             src = _stochastic(
-                self, 0.25,
+                self, sched.BALANCER_PROB(bc),
                 lambda t: balancer(t, 0.45, 0.55, 0.1, 4.0, 0.04), src,
             )
             src = _stochastic(
-                self, 0.15, lambda t: whiten(t, 1, 4.0, 0.01), src
+                self, 0.15,
+                lambda t: whiten(t, 1, sched.WHITEN_LAYER(bc), 0.01), src
             )
         return src
 
@@ -622,15 +791,19 @@ class ZipformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
     use_pallas_conv: bool = False
+    # layerdrop warmup window for this stack (reference zipformer.py:206-209)
+    warmup_begin: float = 0.0
+    warmup_end: float = 0.0
+    final_layerdrop_rate: float = 0.05
 
     @nn.compact
     def __call__(
         self, src, time_emb=None, key_padding_mask=None, *,
-        train: bool = False, dropout_rate: float = 0.0,
+        train: bool = False, dropout_rate=0.0, batch_count=None,
     ):
         T = src.shape[1]
         pos_emb = compact_rel_pos_encoding(T, self.pos_dim).astype(src.dtype)
-        if train and dropout_rate > 0.0:
+        if train and not _static_zero(dropout_rate):
             # reference uses Dropout2(0.15) on the whole pos table
             pos_emb = nn.Dropout(rate=0.15, deterministic=False)(pos_emb)
 
@@ -660,10 +833,15 @@ class ZipformerEncoder(nn.Module):
                 dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
                 use_pallas_conv=self.use_pallas_conv,
+                bypass_skip_rate=sched.layerdrop_schedule(
+                    self.warmup_begin, self.warmup_end, self.num_layers, i,
+                    final_layerdrop_rate=self.final_layerdrop_rate,
+                ),
                 name=f"layers_{i}",
             )(
                 out, pos_emb, time_emb, key_padding_mask,
                 train=train, dropout_rate=dropout_rate,
+                batch_count=batch_count,
             )
         return out
 
@@ -687,11 +865,13 @@ class EncoderStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
     use_pallas_conv: bool = False
+    warmup_begin: float = 0.0
+    warmup_end: float = 0.0
 
     @nn.compact
     def __call__(
         self, src, time_emb=None, key_padding_mask=None, *,
-        train: bool = False, dropout_rate: float = 0.0,
+        train: bool = False, dropout_rate=0.0, batch_count=None,
     ):
         ds = self.downsample_factor
         encoder = ZipformerEncoder(
@@ -709,13 +889,17 @@ class EncoderStack(nn.Module):
             dtype=self.dtype,
             use_pallas_attention=self.use_pallas_attention,
             use_pallas_conv=self.use_pallas_conv,
+            warmup_begin=self.warmup_begin,
+            warmup_end=self.warmup_end,
+            # reference zipformer.py:211: 0.035 * sqrt(downsampling_factor)
+            final_layerdrop_rate=0.035 * (ds ** 0.5),
             name="encoder",
         )
+        enc_kw = dict(
+            train=train, dropout_rate=dropout_rate, batch_count=batch_count
+        )
         if ds == 1:
-            return encoder(
-                src, time_emb, key_padding_mask,
-                train=train, dropout_rate=dropout_rate,
-            )
+            return encoder(src, time_emb, key_padding_mask, **enc_kw)
 
         src_orig = src
         B, T, C = src.shape
@@ -737,13 +921,14 @@ class EncoderStack(nn.Module):
         if key_padding_mask is not None:
             mask_ds = key_padding_mask[:, ::ds]
 
-        src = encoder(
-            src, time_emb, mask_ds, train=train, dropout_rate=dropout_rate
-        )
+        src = encoder(src, time_emb, mask_ds, **enc_kw)
 
         # upsample by repetition, trim, combine (reference :866-870,916-935)
         src = jnp.repeat(src, ds, axis=1)[:, :T]
-        return BypassModule(embed_dim=C, name="out_combiner")(src_orig, src)
+        return BypassModule(embed_dim=C, name="out_combiner")(
+            src_orig, src, train=train,
+            batch_count=batch_count if train else None,
+        )
 
 
 class TTSZipformer(nn.Module):
@@ -780,6 +965,8 @@ class TTSZipformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
     use_pallas_conv: bool = False
+    # layerdrop warmup horizon (reference zipformer.py:100-103,124)
+    warmup_batches: float = 4000.0
 
     def _per_stack(self, val):
         n = len(self.downsampling_factor)
@@ -799,10 +986,16 @@ class TTSZipformer(nn.Module):
         guidance_scale: Optional[jax.Array] = None,
         *,
         train: bool = False,
-        dropout_rate: float = 0.0,
+        dropout_rate=0.0,
+        batch_count=None,
     ):
         num_layers = self._per_stack(self.num_encoder_layers)
         kernels = self._per_stack(self.cnn_module_kernel)
+
+        if dropout_rate is None:
+            # reference default: ScheduledFloat((0, 0.3), (20000, 0.1))
+            # (zipformer.py:133-134); traced when a batch count is threaded
+            dropout_rate = sched.DROPOUT(batch_count if train else None)
 
         two_stream = isinstance(self.in_dim, (tuple, list))
         if two_stream:
@@ -843,6 +1036,7 @@ class TTSZipformer(nn.Module):
         else:
             time_emb = None
 
+        n_stacks = len(self.downsampling_factor)
         for i, ds in enumerate(self.downsampling_factor):
             x = EncoderStack(
                 downsample_factor=ds,
@@ -860,10 +1054,14 @@ class TTSZipformer(nn.Module):
                 dtype=self.dtype,
                 use_pallas_attention=self.use_pallas_attention,
                 use_pallas_conv=self.use_pallas_conv,
+                # staggered layerdrop warmup per stack (reference :206-209)
+                warmup_begin=self.warmup_batches * (i + 1) / (n_stacks + 1),
+                warmup_end=self.warmup_batches * (i + 2) / (n_stacks + 1),
                 name=f"encoders_{i}",
             )(
                 x, time_emb, padding_mask,
                 train=train, dropout_rate=dropout_rate,
+                batch_count=batch_count,
             )
 
         if two_stream:

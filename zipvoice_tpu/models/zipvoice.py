@@ -119,13 +119,14 @@ class ZipVoice(nn.Module):
         padding_mask: Optional[jax.Array] = None,
         guidance_scale: Optional[jax.Array] = None,
         train: bool = False,
-        dropout_rate: float = 0.0,
+        dropout_rate=0.0,
+        batch_count=None,
     ) -> jax.Array:
         """Velocity prediction (reference zipvoice.py:135-185).  t: (B,)."""
         xt = jnp.concatenate([xt, text_condition, speech_condition], axis=-1)
         return self.fm_decoder(
             xt, t=t, padding_mask=padding_mask, guidance_scale=guidance_scale,
-            train=train, dropout_rate=dropout_rate,
+            train=train, dropout_rate=dropout_rate, batch_count=batch_count,
         )
 
     def forward_text_embed(
@@ -133,7 +134,8 @@ class ZipVoice(nn.Module):
         tokens: jax.Array,
         tokens_lens: jax.Array,
         train: bool = False,
-        dropout_rate: float = 0.0,
+        dropout_rate=0.0,
+        batch_count=None,
     ) -> jax.Array:
         """Token ids (B, S) -> text-encoder embeddings (B, S, feat_dim)
         (reference zipvoice.py:187-212).  ``tokens`` must already include the
@@ -144,7 +146,7 @@ class ZipVoice(nn.Module):
         mask = make_pad_mask(tokens_lens, tokens.shape[1])
         return self.text_encoder(
             embed, t=None, padding_mask=mask, train=train,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, batch_count=batch_count,
         )
 
     def embed_spk(self, embed, tokens):
@@ -163,7 +165,8 @@ class ZipVoice(nn.Module):
         speech_condition_mask: Optional[jax.Array] = None,
         rng: Optional[jax.Array] = None,
         train: bool = True,
-        dropout_rate: float = 0.0,
+        dropout_rate=0.0,
+        batch_count=None,
     ) -> jax.Array:
         """Training loss (reference zipvoice.py:332-386).
 
@@ -176,7 +179,8 @@ class ZipVoice(nn.Module):
         """
         T = features.shape[1]
         embed = self.forward_text_embed(
-            tokens, tokens_lens, train=train, dropout_rate=dropout_rate
+            tokens, tokens_lens, train=train, dropout_rate=dropout_rate,
+            batch_count=batch_count,
         )
         text_condition, padding_mask = upsample_text_embed(
             embed, tokens_lens, features_lens, T
@@ -206,6 +210,7 @@ class ZipVoice(nn.Module):
             padding_mask=padding_mask,
             train=train,
             dropout_rate=dropout_rate,
+            batch_count=batch_count,
         )
 
         loss_mask = speech_condition_mask & (~padding_mask)

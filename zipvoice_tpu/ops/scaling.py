@@ -137,10 +137,16 @@ def balancer(
 
 
 def _balancer_stats_grad(x, min_mean, max_mean, min_rms, max_rms, channel_dim):
-    """grad of sum(m_loss + r_loss) wrt x (reference scaling.py:536-568)."""
+    """grad of sum(m_loss + r_loss) wrt x (reference scaling.py:536-568).
+
+    Channels whose stats are within bounds are explicitly zeroed: their
+    analytic loss-grad is zero, but float32 autodiff leaves ~1e-8 residue
+    which the per-channel rms normalization in the caller would otherwise
+    amplify to full grad_scale magnitude (the reference's torch autograd
+    cancels exactly, so unviolated channels contribute nothing)."""
+    reduce_axes = tuple(i for i in range(x.ndim) if i != channel_dim)
 
     def loss_fn(x):
-        reduce_axes = tuple(i for i in range(x.ndim) if i != channel_dim)
         uncentered_var = jnp.mean(jnp.square(x), axis=reduce_axes, keepdims=True)
         mean = jnp.mean(x, axis=reduce_axes, keepdims=True)
         stddev = jnp.sqrt(jnp.clip(uncentered_var - mean * mean, min=1.0e-20))
@@ -150,7 +156,17 @@ def _balancer_stats_grad(x, min_mean, max_mean, min_rms, max_rms, channel_dim):
         r_loss = jnp.abs(jnp.log(jnp.clip(rms, min_rms, max_rms) / rms))
         return jnp.sum(m_loss + r_loss)
 
-    return jax.grad(loss_fn)(x)
+    grad = jax.grad(loss_fn)(x)
+
+    uncentered_var = jnp.mean(jnp.square(x), axis=reduce_axes, keepdims=True)
+    mean = jnp.mean(x, axis=reduce_axes, keepdims=True)
+    stddev = jnp.sqrt(jnp.clip(uncentered_var - mean * mean, min=1.0e-20))
+    rms = jnp.sqrt(jnp.clip(uncentered_var, min=1.0e-20))
+    m = mean / stddev
+    violated = (
+        (m < min_mean) | (m > max_mean) | (rms < min_rms) | (rms > max_rms)
+    )
+    return grad * violated.astype(grad.dtype)
 
 
 def _balancer_fwd(x, min_positive, max_positive, min_abs, max_abs, grad_scale,

@@ -35,10 +35,15 @@ def make_train_step(
     model,
     tx: optax.GradientTransformation,
     condition_drop_ratio: float = 0.2,
-    dropout_rate: float = 0.1,
+    dropout_rate: Optional[float] = 0.1,
     mesh=None,
     model_kwargs: Optional[dict] = None,
     jit: bool = True,
+    schedules: bool = False,
+    max_duration: float = 50.0,
+    world_size: int = 1,
+    ref_duration: float = 50.0,
+    finetune: bool = False,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -48,17 +53,37 @@ def make_train_step(
     With ``mesh``, the step is jitted with the batch sharded over the 'data'
     axis and params/opt-state replicated; XLA inserts the gradient
     all-reduce over ICI (replacing the reference's DDP/NCCL allreduce).
+
+    With ``schedules=True`` the reference's batch-count training schedules
+    are active: the adjusted batch count (reference common.py:310-317) is
+    derived in-graph from ``state.step``, driving scheduled dropout,
+    sequence-level module skipping, const-attention, bypass clamping, and
+    scheduled balancer/whitening bounds — all inside ONE compiled program
+    (the count is a traced scalar).  ``dropout_rate=None`` then follows the
+    reference's 0.3->0.1/20k ramp.
     """
 
     def step_fn(state: TrainState, batch, rng):
         B, T, F = batch["features"].shape
         rng = jax.random.fold_in(rng, state.step)
-        k_t, k_noise, k_mask, k_drop, k_dropout, k_reg = jax.random.split(
-            rng, 6
+        k_t, k_noise, k_mask, k_drop, k_dropout, k_reg, k_skip = (
+            jax.random.split(rng, 7)
         )
         t = jax.random.uniform(k_t, (B, 1, 1))
         noise = jax.random.normal(k_noise, (B, T, F))
         cond_drop = jax.random.uniform(k_drop, (B,)) <= condition_drop_ratio
+
+        batch_count = None
+        if schedules:
+            from zipvoice_tpu.ops.schedule import adjusted_batch_count
+
+            batch_count = adjusted_batch_count(
+                state.step.astype(jnp.float32),
+                max_duration=max_duration,
+                world_size=world_size,
+                ref_duration=ref_duration,
+                finetune=finetune,
+            )
 
         def loss_fn(params):
             return model.apply(
@@ -73,7 +98,8 @@ def make_train_step(
                 rng=k_mask,
                 train=True,
                 dropout_rate=dropout_rate,
-                rngs={"dropout": k_dropout, "reg": k_reg},
+                batch_count=batch_count,
+                rngs={"dropout": k_dropout, "reg": k_reg, "skip": k_skip},
                 **(model_kwargs or {}),
             )
 

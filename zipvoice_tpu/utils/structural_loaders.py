@@ -65,3 +65,21 @@ def copy_proj_three_channel(params: Dict, feat_dim: int) -> Dict:
     fm["out_proj_1"] = {"kernel": k, "bias": b}
     out["fm_decoder"] = fm
     return out
+
+
+def graft_missing(dst: Dict, src: Dict) -> Dict:
+    """Recursively add entries of ``src`` absent from ``dst`` (in place).
+
+    Used for two-stream from-scratch init: @nn.compact creates only the
+    projection pair the init input exercises, so the trainer inits the model
+    at both input widths with the same rng (trunk params are path-keyed and
+    identical) and grafts the second pair in.  The reference creates both
+    pairs structurally (zipvoice_dialog.py:241-256,
+    zipformer_two_stream.py:161-167).
+    """
+    for k, v in src.items():
+        if k not in dst:
+            dst[k] = v
+        elif isinstance(v, dict):
+            graft_missing(dst[k], v)
+    return dst
