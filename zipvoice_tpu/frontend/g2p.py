@@ -126,6 +126,12 @@ def get_g2p(voice: str = "en-us"):
     return backend
 
 
+def espeak_available(voice: str = "en-us") -> bool:
+    """True when the real libespeak-ng binding is usable (the token-fixture
+    tests gate real-espeak cases on this)."""
+    return isinstance(get_g2p(voice), EspeakG2P)
+
+
 def phonemize_espeak(text: str, voice: str) -> List[List[str]]:
     """Drop-in equivalent of piper_phonemize.phonemize_espeak."""
     return get_g2p(voice).phonemize(text)
