@@ -44,6 +44,15 @@ def get_parser():
     p.add_argument("--max-duration", type=float, default=250.0)
     p.add_argument("--num-buckets", type=int, default=30)
     p.add_argument("--on-the-fly-feats", action="store_true")
+    p.add_argument("--streaming", action="store_true",
+                   help="lazy manifest iteration with bounded shuffle/bucket "
+                        "buffers (constant RSS at any corpus scale; the "
+                        "reference streams lazy CutSets, datamodule.py:177-195)")
+    p.add_argument("--shuffle-buffer", type=int, default=10000,
+                   help="streaming shuffle buffer, in cuts")
+    p.add_argument("--num-workers", type=int, default=2,
+                   help="concurrent batch-assembly workers (the reference "
+                        "uses 8 DataLoader workers, datamodule.py:143-151)")
     p.add_argument("--min-len", type=float, default=1.0)
     p.add_argument("--max-len", type=float, default=30.0)
     # optimization (reference train_zipvoice.py defaults)
@@ -223,31 +232,75 @@ def main():
     from zipvoice_tpu.utils import checkpoint_io
 
     exp_dir = Path(args.exp_dir)
+    is_primary = jax.process_index() == 0
     exp_dir.mkdir(parents=True, exist_ok=True)
-    # self-describing exp dir (reference train_zipvoice.py:887-889)
-    shutil.copyfile(args.token_file, exp_dir / "tokens.txt")
+    # self-describing exp dir (reference train_zipvoice.py:887-889); all
+    # writes below are gated on process 0 (the reference gates on rank 0,
+    # train_zipvoice.py:931-934,645-665)
+    if is_primary:
+        shutil.copyfile(args.token_file, exp_dir / "tokens.txt")
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
     tokenizer = get_tokenizer(args.tokenizer, args.token_file, args.lang)
     model, cfg = build_model(args, tokenizer, dtype)
-    (exp_dir / "model.json").write_text(json.dumps({"model": cfg}, indent=2))
+    if is_primary:
+        (exp_dir / "model.json").write_text(
+            json.dumps({"model": cfg}, indent=2)
+        )
 
     # ---- data -------------------------------------------------------------
-    manifests = [read_manifest(m) for m in args.train_manifest]
-    weights = args.train_weight or [len(m) for m in manifests]
-    cuts = (
-        mux(manifests, weights, seed=args.seed)
-        if len(manifests) > 1
-        else manifests[0]
-    )
-    cuts = [
-        c for c in cuts if args.min_len <= c.duration <= args.max_len
-    ]
-    logging.info(f"training cuts: {len(cuts)}")
-    sampler = DynamicBucketingSampler(
-        cuts, max_duration=args.max_duration, num_buckets=args.num_buckets,
-        shuffle=True, seed=args.seed, drop_last=True,
-    )
+    # Multi-host note: every process builds the IDENTICAL global batch (same
+    # manifest, same seed) and device_put materializes only its addressable
+    # shards of the mesh-sharded array.  Host-side batch assembly is thus
+    # duplicated per host (cheap: npy reads + padding), but the compiled
+    # program and its input shapes are guaranteed identical across
+    # processes — which multi-controller jit requires.  The reference
+    # instead gives each DDP rank a distinct sampler shard
+    # (datamodule.py:177-195); per-process DISTINCT batches would need a
+    # shape-synchronized sampler, which StreamingBucketingSampler's
+    # rank/world args support for offline/feature jobs.
+    rank, world = 0, 1
+    if args.streaming:
+        from zipvoice_tpu.data.manifest import iter_manifest, mux_iter
+        from zipvoice_tpu.data.sampler import StreamingBucketingSampler
+
+        paths = list(args.train_manifest)
+        weights = args.train_weight or [1.0] * len(paths)
+
+        def cuts_fn(epoch, _paths=paths, _w=weights):
+            if len(_paths) > 1:
+                base = mux_iter(
+                    [lambda p=p: iter_manifest(p) for p in _paths],
+                    _w, seed=args.seed + epoch,
+                )
+            else:
+                base = iter_manifest(_paths[0])
+            return (c for c in base
+                    if args.min_len <= c.duration <= args.max_len)
+
+        sampler = StreamingBucketingSampler(
+            cuts_fn, max_duration=args.max_duration,
+            num_buckets=args.num_buckets, shuffle=True, seed=args.seed,
+            drop_last=True, shuffle_buffer=args.shuffle_buffer,
+            rank=rank, world_size=world,
+        )
+    else:
+        manifests = [read_manifest(m) for m in args.train_manifest]
+        weights = args.train_weight or [len(m) for m in manifests]
+        cuts = (
+            mux(manifests, weights, seed=args.seed)
+            if len(manifests) > 1
+            else manifests[0]
+        )
+        cuts = [
+            c for c in cuts if args.min_len <= c.duration <= args.max_len
+        ]
+        logging.info(f"training cuts: {len(cuts)}")
+        sampler = DynamicBucketingSampler(
+            cuts, max_duration=args.max_duration,
+            num_buckets=args.num_buckets,
+            shuffle=True, seed=args.seed, drop_last=True,
+        )
     num_channels = 2 if args.model_name == "zipvoice_dialog_stereo" else 1
     dataset = SpeechSynthesisDataset(
         tokenizer=tokenizer,
@@ -366,8 +419,18 @@ def main():
         print(format_stats(stats))
         return
 
-    hours_per_epoch = sum(c.duration for c in cuts) / 3600
-    batches_per_epoch = max(1, len(sampler))
+    if args.streaming:
+        # metadata-only pass: exact batch count + audio hours for epoch 0
+        # (replaces the old total/max_duration estimate, which skewed the
+        # Eden epoch axis)
+        hours_per_epoch = sum(
+            c.duration for c in sampler.cuts_fn(0)
+        ) / 3600
+        batches_per_epoch = max(1, sampler.count_batches())
+    else:
+        hours_per_epoch = sum(c.duration for c in cuts) / 3600
+        # exact count of epoch-0 batches (not the old duration estimate)
+        batches_per_epoch = max(1, sum(1 for _ in sampler))
     if args.lr_hours > 0:
         # epoch axis re-based to hours of audio (reference :615-622)
         batches_per_epoch = args.lr_hours / (
@@ -394,13 +457,14 @@ def main():
     finetune = args.finetune or bool(
         args.checkpoint or args.init_from_base or args.init_from_dialog
     )
-    # each process draws its own sampler batch of max_duration seconds and
-    # shards it over its local devices, so the effective step duration is
-    # max_duration * process_count (the reference's max_duration*world_size)
+    # one GLOBAL batch of max_duration seconds per step regardless of the
+    # process count (see the multi-host note in the data section), so the
+    # schedule clock's world_size is 1 (the reference's is
+    # max_duration * world because each DDP rank adds its own batch)
     sched_kw = dict(
         schedules=args.schedules,
         max_duration=args.max_duration,
-        world_size=jax.process_count(),
+        world_size=1,
         ref_duration=args.ref_duration,
         finetune=finetune,
     )
@@ -468,7 +532,7 @@ def main():
         logging.info(f"--scan-oom ok (loss {float(m['loss']):.3f})")
 
     tb = None
-    if args.tensorboard:
+    if args.tensorboard and is_primary:
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -497,7 +561,9 @@ def main():
             )
         else:
             batch_iter = (
-                (b, False) for b in prefetch_batches(sampler, dataset)
+                (b, False) for b in prefetch_batches(
+                    sampler, dataset, num_workers=args.num_workers
+                )
             )
         for batch, use_mixed in batch_iter:
             sharded = shard_batch(
@@ -517,15 +583,18 @@ def main():
             except Exception:
                 # save the offending batch + model for post-mortem
                 # (reference train_zipvoice.py:536-549,769-795)
-                bad = exp_dir / "bad-batch.npz"
+                # per-process batch dump (the reference writes
+                # bad-model-{rank}.pt, train_zipvoice.py:536-549,769-795)
+                bad = exp_dir / f"bad-batch-{jax.process_index()}.npz"
                 np.savez(
                     bad,
                     **{k: v for k, v in batch.items()
                        if isinstance(v, np.ndarray)},
                 )
-                checkpoint_io.save_checkpoint(
-                    str(exp_dir / "bad-model"), jax.device_get(state)
-                )
+                if is_primary:
+                    checkpoint_io.save_checkpoint(
+                        str(exp_dir / "bad-model"), jax.device_get(state)
+                    )
                 logging.error(f"step failed; batch saved to {bad}")
                 raise
             frames = int(batch["features_lens"].sum())
@@ -560,13 +629,14 @@ def main():
                     tb.add_scalar("train/lr", lr, step)
                 tot_loss, tot_frames, t_start = 0.0, 0, time.time()
 
-            if step % args.average_period == 0:
+            if step % args.average_period == 0 and is_primary:
                 model_avg = update_averaged_model(
                     model_avg, jax.device_get(state.params), step,
                     args.average_period,
                 )
 
-            if args.save_every_n > 0 and step % args.save_every_n == 0:
+            if (args.save_every_n > 0 and step % args.save_every_n == 0
+                    and is_primary):
                 path = exp_dir / f"checkpoint-{step}"
                 checkpoint_io.save_checkpoint(
                     str(path), jax.device_get(state),
@@ -588,7 +658,8 @@ def main():
             if args.num_iters and step >= args.num_iters:
                 break
 
-            if dev_sampler and step % args.valid_interval == 0:
+            if (dev_sampler and is_primary
+                    and step % args.valid_interval == 0):
                 v_loss, v_frames = 0.0, 0
                 for i, vb in enumerate(
                     prefetch_batches(dev_sampler, dataset)
@@ -616,6 +687,9 @@ def main():
                     )
 
         if args.num_iters and int(state.step) >= args.num_iters:
+            if not is_primary:
+                logging.info(f"reached --num-iters {args.num_iters}")
+                break
             final = exp_dir / f"checkpoint-{int(state.step)}"
             checkpoint_io.save_checkpoint(
                 str(final), jax.device_get(state),
@@ -628,6 +702,8 @@ def main():
             break
 
         # end of epoch checkpoint
+        if not is_primary:
+            continue
         path = exp_dir / f"epoch-{epoch}"
         checkpoint_io.save_checkpoint(
             str(path), jax.device_get(state),

@@ -105,23 +105,55 @@ class SpeechSynthesisDataset:
 
 
 def prefetch_batches(
-    sampler, dataset, num_prefetch: int = 4
+    sampler, dataset, num_prefetch: int = 4, num_workers: int = 1
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Background-thread prefetching iterator (DataLoader-worker analogue)."""
-    q: "queue.Queue" = queue.Queue(maxsize=num_prefetch)
-    _DONE = object()
+    """Prefetching iterator (the reference uses 8 DataLoader worker
+    processes, datamodule.py:143-151).  ``num_workers`` > 1 assembles
+    several batches concurrently in a thread pool — feature IO (np.load /
+    wav decode / STFT via numpy) releases the GIL, so threads scale without
+    process-spawn or pickling costs.  Batch order is preserved."""
+    if num_workers <= 1:
+        q: "queue.Queue" = queue.Queue(maxsize=num_prefetch)
+        _DONE = object()
 
-    def worker():
-        try:
-            for cuts in sampler:
-                q.put(dataset(cuts))
-        finally:
-            q.put(_DONE)
+        def worker():
+            try:
+                for cuts in sampler:
+                    q.put(dataset(cuts))
+            finally:
+                q.put(_DONE)
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _DONE:
-            break
-        yield item
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            yield item
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    max_inflight = max(num_prefetch, num_workers)
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        inflight: "queue.Queue" = queue.Queue()
+        it = iter(sampler)
+
+        def submit_next() -> bool:
+            try:
+                cuts = next(it)
+            except StopIteration:
+                return False
+            inflight.put(pool.submit(dataset, cuts))
+            return True
+
+        alive = True
+        for _ in range(max_inflight):
+            alive = submit_next()
+            if not alive:
+                break
+        while not inflight.empty():
+            fut = inflight.get()
+            batch = fut.result()
+            submit_next()
+            yield batch

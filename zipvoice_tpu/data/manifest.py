@@ -105,6 +105,33 @@ def write_manifest(path: str, cuts) -> None:
             f.write(json.dumps(cut.to_dict(), ensure_ascii=False) + "\n")
 
 
+def mux_iter(
+    iterator_fns, weights: List[float], seed: int = 0
+) -> Iterator[Cut]:
+    """Lazy weighted interleave of several cut streams (lhotse
+    CutSet.mux semantics, reference train_zipvoice.py:1000-1011) holding
+    only one pending cut per stream in memory."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    iters = [iter(fn()) for fn in iterator_fns]
+    pending = []
+    for it in iters:
+        try:
+            pending.append(next(it))
+        except StopIteration:
+            pending.append(None)
+    w = list(weights)
+    while any(p is not None for p in pending):
+        alive = [i for i in range(len(iters)) if pending[i] is not None]
+        i = rng.choices(alive, weights=[w[j] for j in alive])[0]
+        yield pending[i]
+        try:
+            pending[i] = next(iters[i])
+        except StopIteration:
+            pending[i] = None
+
+
 def mux(manifests: List[List[Cut]], weights: List[float], seed: int = 0):
     """Weighted random interleave of several cut lists (replacement for
     lhotse CutSet.mux, reference train_zipvoice.py:1000-1011)."""
