@@ -399,14 +399,17 @@ def main():
     logging.info(f"model parameters: {n_params / 1e6:.1f}M")
 
     if args.print_diagnostics:
+        # one-batch diagnostics dump and exit (reference --print-diagnostics,
+        # diagnostics.py:29-570): dim-wise percentile stats for every module
+        # activation, every parameter, and every parameter GRADIENT
         from zipvoice_tpu.utils.diagnostics import (
             collect_module_stats,
+            collect_tree_stats,
             format_stats,
         )
 
         B_, T_, F_ = sample_batch["features"].shape
-        stats = collect_module_stats(
-            model, {"params": params},
+        diag_kwargs = dict(
             tokens=jnp.asarray(sample_batch["tokens"]),
             tokens_lens=jnp.asarray(sample_batch["tokens_lens"]),
             features=jnp.asarray(sample_batch["features"]),
@@ -414,9 +417,21 @@ def main():
             noise=jnp.zeros((B_, T_, F_)),
             t=jnp.full((B_, 1, 1), 0.5),
             rng=jax.random.PRNGKey(0),
-            train=False,
         )
+        stats = collect_module_stats(
+            model, {"params": params}, train=False, **diag_kwargs
+        )
+        print("==== module outputs ====")
         print(format_stats(stats))
+        print("==== parameters ====")
+        print(format_stats(collect_tree_stats(params)))
+        grads = jax.grad(
+            lambda p: model.apply(
+                {"params": p}, train=False, **diag_kwargs
+            )
+        )(params)
+        print("==== parameter grads ====")
+        print(format_stats(collect_tree_stats(grads)))
         return
 
     if args.streaming:
@@ -577,6 +592,34 @@ def main():
                 step = int(state.step)
                 loss = float(metrics["loss"])
                 if args.inf_check and not np.isfinite(loss):
+                    # name the module that produced the first non-finite
+                    # output (the reference's forward hooks, hooks.py:26-97)
+                    from zipvoice_tpu.utils.diagnostics import find_nonfinite
+
+                    try:
+                        B_, T_, F_ = batch["features"].shape
+                        stats_vars = model.apply(
+                            {"params": jax.device_get(state.params)},
+                            tokens=jnp.asarray(batch["tokens"]),
+                            tokens_lens=jnp.asarray(batch["tokens_lens"]),
+                            features=jnp.asarray(batch["features"]),
+                            features_lens=jnp.asarray(
+                                batch["features_lens"]),
+                            noise=jnp.zeros((B_, T_, F_)),
+                            t=jnp.full((B_, 1, 1), 0.5),
+                            rng=jax.random.PRNGKey(0),
+                            train=False,
+                            capture_intermediates=True,
+                        )[1]
+                        bad = find_nonfinite(
+                            stats_vars.get("intermediates", {})
+                        )
+                        logging.error(
+                            f"--inf-check: non-finite module outputs: "
+                            f"{list(bad)[:8] or '(forward clean; grads?)'}"
+                        )
+                    except Exception as diag_ex:  # noqa: BLE001
+                        logging.error(f"--inf-check probe failed: {diag_ex}")
                     raise RuntimeError(
                         f"non-finite loss at step {step}: {loss}"
                     )

@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_PCTS = (0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100)
+
+
 def _stats(x: np.ndarray) -> Dict[str, float]:
     x = np.asarray(x, np.float32).ravel()
     if x.size == 0:
@@ -37,6 +40,70 @@ def _stats(x: np.ndarray) -> Dict[str, float]:
         "min": float(x.min()),
         "frac_pos": float((x > 0).mean()),
     }
+
+
+def dimwise_stats(x: np.ndarray, max_dim_size: int = 2048) -> Dict[int, Dict]:
+    """Per-dimension statistics in the reference's TensorDiagnostic style
+    (reference diagnostics.py:29-400): for each axis, reduce every OTHER
+    axis to get one value per index, then report the [0,10,...,100]
+    percentiles across indices of
+      - mean |x|            ("abs")
+      - positive fraction   ("positive")
+      - rms                 ("rms")
+      - mean value          ("value")
+    plus, for the trailing (channel) axis, the eigenvalue percentiles of
+    the feature covariance ("eigs", reference diagnostics.py:184-220) when
+    the axis is small enough.
+    """
+    x = np.asarray(x, np.float32)
+    out: Dict[int, Dict] = {}
+    for d in range(x.ndim):
+        if x.shape[d] < 2 or x.shape[d] > max_dim_size:
+            continue
+        other = tuple(i for i in range(x.ndim) if i != d)
+        ax = np.abs(x)
+        stats = {
+            "size": x.shape[d],
+            "abs": np.percentile(ax.mean(axis=other), _PCTS),
+            "positive": np.percentile((x > 0).mean(axis=other), _PCTS),
+            "rms": np.percentile(
+                np.sqrt((x * x).mean(axis=other)), _PCTS
+            ),
+            "value": np.percentile(x.mean(axis=other), _PCTS),
+        }
+        if d == x.ndim - 1 and x.ndim >= 2 and x.shape[d] <= 512:
+            flat = x.reshape(-1, x.shape[d])
+            if flat.shape[0] >= 2:
+                cov = np.cov(flat, rowvar=False)
+                eigs = np.linalg.eigvalsh(np.atleast_2d(cov))
+                stats["eigs"] = np.percentile(eigs, _PCTS)
+        out[d] = stats
+    return out
+
+
+def _fmt_pcts(v) -> str:
+    return "[" + " ".join(f"{float(x):.2g}" for x in v) + "]"
+
+
+def collect_tree_stats(
+    tree: Any, dimwise: bool = True
+) -> Dict[str, Dict]:
+    """Dim-wise stats for every array leaf of a pytree — used on params and
+    grads (the reference attaches diagnostics to parameters and their
+    .grad, diagnostics.py:442-570)."""
+    out: Dict[str, Dict] = {}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        if not hasattr(leaf, "shape"):
+            continue
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        arr = np.asarray(leaf)
+        s = _stats(arr)
+        s["shape"] = tuple(arr.shape)
+        if dimwise:
+            s["dims"] = dimwise_stats(arr)
+        out[name] = s
+    return out
 
 
 def collect_module_stats(
@@ -56,8 +123,10 @@ def collect_module_stats(
         if not hasattr(leaf, "shape"):
             continue
         name = "/".join(str(getattr(p, "key", p)) for p in path)
-        s = _stats(np.asarray(leaf))
-        s["shape"] = tuple(leaf.shape)
+        arr = np.asarray(leaf)
+        s = _stats(arr)
+        s["shape"] = tuple(arr.shape)
+        s["dims"] = dimwise_stats(arr)
         stats[name] = s
     return stats
 
@@ -97,7 +166,9 @@ def profile(logdir: str):
         jax.profiler.stop_trace()
 
 
-def format_stats(stats: Dict[str, Dict[str, float]], top: int = 0) -> str:
+def format_stats(
+    stats: Dict[str, Dict[str, float]], top: int = 0, dimwise: bool = True
+) -> str:
     lines = []
     items = stats.items()
     if top:
@@ -111,4 +182,12 @@ def format_stats(stats: Dict[str, Dict[str, float]], top: int = 0) -> str:
             f"range=[{s.get('min', 0):.3g},{s.get('max', 0):.3g}] "
             f"pos={s.get('frac_pos', 0):.2f}"
         )
+        if dimwise:
+            for d, ds in (s.get("dims") or {}).items():
+                for key in ("abs", "positive", "rms", "value", "eigs"):
+                    if key in ds:
+                        lines.append(
+                            f"  dim={d} size={ds['size']} {key} "
+                            f"percentiles {_fmt_pcts(ds[key])}"
+                        )
     return "\n".join(lines)
