@@ -97,3 +97,55 @@ def test_structural_loaders():
         params["fm_decoder"]["in_proj"]["kernel"][:F],
         rtol=1e-6,
     )
+
+
+def test_post_process_matches_reference_algorithm():
+    """Our pre-scoring normalization equals the reference's post_process
+    (eval/wer/seedtts.py:128-151) run with the same punctuation table —
+    the reference module itself needs funasr/zhon/jiwer, so its deps are
+    stubbed and our embedded CJK punctuation set is injected as
+    zhon.hanzi.punctuation."""
+    import sys
+    import types
+
+    from zipvoice_tpu.eval.metrics import _CJK_PUNCT, post_process
+
+    if "zipvoice.eval.wer.seedtts" not in sys.modules:
+        for name, attrs in (
+            ("funasr", {"AutoModel": object}),
+            ("jiwer", {"compute_measures": lambda *a: {}}),
+            ("soundfile", {"read": lambda *a: None}),
+            ("zhconv", {"convert": lambda t, v: t}),
+            ("scipy", {}),
+            ("scipy.signal", {"resample": lambda *a: None}),
+            ("tqdm", {"tqdm": lambda x: x}),
+        ):
+            try:
+                __import__(name)  # only stub genuinely-missing deps
+            except ImportError:
+                import importlib.machinery
+
+                m = types.ModuleType(name)
+                m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+                for k, v in attrs.items():
+                    setattr(m, k, v)
+                sys.modules[name] = m
+        zhon = types.ModuleType("zhon")
+        hanzi = types.ModuleType("zhon.hanzi")
+        # strip the ASCII stops we appended; zhon's table is the CJK part
+        hanzi.punctuation = _CJK_PUNCT
+        zhon.hanzi = hanzi
+        sys.modules.setdefault("zhon", zhon)
+        sys.modules.setdefault("zhon.hanzi", hanzi)
+
+    from zipvoice.eval.wer.seedtts import post_process as ref_pp
+
+    cases = [
+        ("Hello, World! It's co-op; fine?", "en"),
+        ("The  quick... brown 'fox'!", "en"),
+        ("你好，世界！“引用”……完。", "zh"),
+        ("中文 with English mixed, ok?", "zh"),
+        ("no punct here", "en"),
+    ]
+    for text, lang in cases:
+        assert post_process(text, lang) == ref_pp(text, lang), (text, lang)

@@ -1,0 +1,238 @@
+"""Real-published-checkpoint validation, gated on local artifacts
+(VERDICT round-1 Missing #3).
+
+These tests are SKIPPED unless the corresponding weights exist — they run
+the moment artifacts land, converting the mel-allclose north star from
+"should work" into a tested contract.  Set:
+
+- ``ZIPVOICE_CKPT_DIR``: directory with the published ZipVoice release
+  (model.pt + model.json + tokens.txt, the HF hub layout the reference
+  loads at infer_zipvoice.py:771-816);
+- ``VOCOS_CKPT``: the charactr/vocos-mel-24khz pytorch_model.bin
+  (reference infer_zipvoice.py:301-312);
+- ``WAVLM_SIM_CKPT``: wavlm_large_finetune.pth for the SIM head;
+- ``UTMOS_CKPT``: the UTMOS strong-learner checkpoint.
+
+When reference-generated goldens exist (produced by
+tools/dump_real_weight_goldens.py in an environment with the reference's
+full deps), the ZipVoice test additionally asserts mel allclose 1e-3 and
+wav correlation vs the reference outputs with IDENTICAL injected noise.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax.numpy as jnp
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "real_goldens"
+)
+
+PROMPT_TEXT = "some call me nature, others call me mother nature."
+GEN_TEXT = "I hope the weather stays clear for the picnic tomorrow."
+
+
+def fixture_prompt_wav(path: str, sr: int = 24000) -> str:
+    """Deterministic 2-second pseudo-speech prompt — MUST stay identical to
+    tools/dump_real_weight_goldens.py so goldens and tests see one input."""
+    t = np.arange(2 * sr) / sr
+    f0 = 140 + 20 * np.sin(2 * np.pi * 1.5 * t)
+    wav = 0.25 * np.sin(2 * np.pi * f0 * t)
+    wav += 0.05 * np.sin(2 * np.pi * 3 * f0 * t)
+    wav *= (0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t)) ** 2
+    from zipvoice_tpu.frontend.audio import save_wav
+
+    save_wav(path, wav.astype(np.float32)[None], sr)
+    return path
+
+
+class _FixedNoise:
+    """rng stand-in replaying golden noise so our ODE integrates the same
+    trajectory as the reference run that produced the goldens."""
+
+    def __init__(self, noise):
+        self.noise = noise
+
+    def randn(self, *shape):
+        assert tuple(shape) == tuple(self.noise.shape), (
+            shape, self.noise.shape,
+        )
+        return self.noise
+
+
+needs_zipvoice = pytest.mark.skipif(
+    not os.path.isdir(os.environ.get("ZIPVOICE_CKPT_DIR", "")),
+    reason="set ZIPVOICE_CKPT_DIR to the published checkpoint directory",
+)
+needs_vocos = pytest.mark.skipif(
+    not os.path.isfile(os.environ.get("VOCOS_CKPT", "")),
+    reason="set VOCOS_CKPT to charactr/vocos-mel-24khz pytorch_model.bin",
+)
+
+
+def _load_pipeline(ckpt_dir, tmp_path):
+    from zipvoice_tpu.frontend.tokenizer import EmiliaTokenizer
+    from zipvoice_tpu.infer.pipeline import InferencePipeline
+    from zipvoice_tpu.models.zipvoice import ZipVoice
+    from zipvoice_tpu.utils.checkpoint_io import load_torch_state_dict
+    from zipvoice_tpu.utils.convert import convert_zipvoice
+    from zipvoice_tpu.vocoder.vocos import Vocos, convert_vocos_state_dict
+
+    cfg = json.load(open(os.path.join(ckpt_dir, "model.json")))["model"]
+    tokenizer = EmiliaTokenizer(os.path.join(ckpt_dir, "tokens.txt"))
+    model = ZipVoice(
+        **cfg, vocab_size=tokenizer.vocab_size, pad_id=tokenizer.pad_id
+    )
+    params = {"params": convert_zipvoice(
+        load_torch_state_dict(os.path.join(ckpt_dir, "model.pt"))
+    )}
+
+    vocoder, vparams = None, None
+    vocos_ckpt = os.environ.get("VOCOS_CKPT", "")
+    if os.path.isfile(vocos_ckpt):
+        vocoder = Vocos()
+        vparams = {"params": convert_vocos_state_dict(
+            load_torch_state_dict(vocos_ckpt)
+        )}
+    return InferencePipeline(
+        model, params, vocoder, vparams, tokenizer
+    )
+
+
+@needs_zipvoice
+def test_published_zipvoice_raw_generation(tmp_path):
+    """Load the published 123M weights and run --raw-evaluation on the
+    fixture prompt; if reference goldens exist, assert mel allclose 1e-3
+    and wav correlation > 0.99 with identical noise."""
+    pipe = _load_pipeline(os.environ["ZIPVOICE_CKPT_DIR"], tmp_path)
+    prompt = fixture_prompt_wav(str(tmp_path / "prompt.wav"))
+
+    golden_noise = os.path.join(GOLDEN_DIR, "zipvoice_raw_noise.npy")
+    if os.path.exists(golden_noise):
+        pipe.rng = _FixedNoise(np.load(golden_noise))
+
+    if pipe.vocoder is None:
+        pytest.skip("VOCOS_CKPT required for waveform output")
+    wav, metrics = pipe.generate_raw(
+        prompt_text=PROMPT_TEXT, prompt_wav_path=prompt, text=GEN_TEXT,
+        num_step=16, guidance_scale=1.0,
+    )
+    assert np.isfinite(wav).all()
+    assert 1.0 < metrics["wav_seconds"] < 20.0, metrics
+
+    golden_mel = os.path.join(GOLDEN_DIR, "zipvoice_raw_mel.npy")
+    if os.path.exists(golden_mel):
+        ref_mel = np.load(golden_mel)
+        feats, lens = pipe._sample_batch(
+            [pipe.tokenizer.texts_to_token_ids([GEN_TEXT])[0]],
+            pipe.tokenizer.texts_to_token_ids([PROMPT_TEXT])[0],
+            pipe.feature_extractor.extract(
+                __import__("zipvoice_tpu.frontend.audio",
+                           fromlist=["load_wav"]).load_wav(prompt, 24000),
+                24000,
+            ) * pipe.feat_scale,
+            num_step=16, guidance_scale=1.0, speed=1.0, t_shift=0.5,
+        )
+        mel = feats[0, : lens[0]]
+        assert mel.shape == ref_mel.shape, (mel.shape, ref_mel.shape)
+        np.testing.assert_allclose(mel, ref_mel, atol=1e-3, rtol=0)
+
+    golden_wav = os.path.join(GOLDEN_DIR, "zipvoice_raw_wav.npy")
+    if os.path.exists(golden_wav):
+        ref_wav = np.load(golden_wav).ravel()
+        ours = wav.ravel()[: len(ref_wav)]
+        corr = np.corrcoef(ours, ref_wav[: len(ours)])[0, 1]
+        assert corr > 0.99, corr
+
+
+@needs_vocos
+def test_published_vocos_weights_roundtrip():
+    """Converted published Vocos weights load into our architecture and
+    vocode a deterministic mel into a finite, correctly-sized waveform; if
+    a reference golden exists, assert waveform closeness."""
+    from zipvoice_tpu.utils.checkpoint_io import load_torch_state_dict
+    from zipvoice_tpu.vocoder.vocos import Vocos, convert_vocos_state_dict
+
+    sd = load_torch_state_dict(os.environ["VOCOS_CKPT"])
+    params = {"params": convert_vocos_state_dict(sd)}
+    vocoder = Vocos()
+    rng = np.random.RandomState(0)
+    T = 96
+    mel = (rng.randn(1, T, 100) * 0.5 - 1.0).astype(np.float32)
+    wav = np.asarray(vocoder.apply(params, jnp.asarray(mel)))
+    assert wav.shape[-1] == T * 256, wav.shape
+    assert np.isfinite(wav).all()
+    assert np.abs(wav).max() < 10.0
+
+    golden = os.path.join(GOLDEN_DIR, "vocos_wav.npy")
+    if os.path.exists(golden):
+        ref = np.load(golden)
+        np.testing.assert_allclose(
+            wav.ravel(), ref.ravel(), atol=2e-3, rtol=0
+        )
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.environ.get("WAVLM_SIM_CKPT", "")),
+    reason="set WAVLM_SIM_CKPT to wavlm_large_finetune.pth",
+)
+def test_published_sim_head(tmp_path):
+    """The WavLM-ECAPA SIM head loads the released head weights
+    (wavlm_large_finetune.pth) without shape errors and embeds a wav to a
+    finite, self-similar vector."""
+    import torch
+
+    from zipvoice_tpu.eval.speaker_model import EcapaWavLM
+
+    wavlm_path = os.environ.get("WAVLM_BASE_CKPT") or None
+    model = EcapaWavLM(wavlm_path=wavlm_path)
+    model.load_head_checkpoint(os.environ["WAVLM_SIM_CKPT"])
+    model.eval()
+    if wavlm_path is None:
+        pytest.skip("head loaded ok; set WAVLM_BASE_CKPT for embeddings")
+    wav = fixture_prompt_wav(str(tmp_path / "p.wav"), sr=16000)
+    from zipvoice_tpu.frontend.audio import load_wav
+
+    x = torch.from_numpy(load_wav(wav, 16000))
+    with torch.no_grad():
+        emb = model(x).numpy().ravel()
+    assert np.isfinite(emb).all()
+    sim = float(np.dot(emb, emb) / (np.linalg.norm(emb) ** 2 + 1e-9))
+    assert sim > 0.99
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.environ.get("UTMOS_CKPT", "")),
+    reason="set UTMOS_CKPT to the UTMOS strong checkpoint",
+)
+def test_published_utmos(tmp_path):
+    """UTMOS with real weights produces a score in [1, 5] on the fixture
+    wav (the reference scores naturalness with the same head,
+    eval/mos/utmos.py)."""
+    import torch
+
+    from zipvoice_tpu.eval.utmos_model import UTMOS22Strong
+
+    try:
+        model = torch.jit.load(
+            os.environ["UTMOS_CKPT"], map_location="cpu"
+        )
+    except Exception:
+        model = UTMOS22Strong()
+        sd = torch.load(os.environ["UTMOS_CKPT"], map_location="cpu")
+        if "model" in sd:
+            sd = sd["model"]
+        model.load_state_dict(sd)
+    model.eval()
+    wav = fixture_prompt_wav(str(tmp_path / "p.wav"), sr=16000)
+    from zipvoice_tpu.frontend.audio import load_wav
+
+    x = torch.from_numpy(load_wav(wav, 16000))
+    with torch.no_grad():
+        score = float(model(x, 16000).mean())
+    assert 1.0 <= score <= 5.0, score

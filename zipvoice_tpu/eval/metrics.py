@@ -54,14 +54,37 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> Dict[str, int]:
 _PUNCT_RE = re.compile(r"[^\w\s']", re.UNICODE)
 
 
-def normalize_text(text: str, lang: str = "en") -> List[str]:
-    """Basic ASR-output normalization: lowercase, strip punctuation;
-    Chinese is scored per character."""
-    text = text.lower().strip()
-    text = _PUNCT_RE.sub(" ", text)
+# zhon.hanzi.punctuation (CJK stops + non-stops), embedded so scoring
+# matches the reference's pre-scoring normalization without the zhon dep
+# (reference eval/wer/seedtts.py:38,128-151)
+_CJK_PUNCT = (
+    "＂＃＄％＆＇（）＊＋，－／：；＜＝＞＠［＼］＾＿｀｛｜｝～｟｠｢｣､　"
+    "、〃〈〉《》「」『』【】〔〕〖〗〘〙〚〛〜〝〞〟〰〾〿–—‘’‛“”„‟…‧﹏﹑﹔"
+    "·！？｡。"
+)
+
+
+def post_process(text: str, lang: str) -> str:
+    """The reference's pre-scoring text normalization
+    (eval/wer/seedtts.py:128-151), reproduced exactly: strip all CJK+ASCII
+    punctuation EXCEPT apostrophes, one double-space collapse pass, then
+    lowercase (en) or split into characters (zh)."""
+    import string as _string
+
+    for x in _CJK_PUNCT + _string.punctuation:
+        if x == "'":
+            continue
+        text = text.replace(x, "")
+    text = text.replace("  ", " ")
     if lang == "zh":
-        return [c for c in text.replace(" ", "") if c.strip()]
-    return text.split()
+        return " ".join(x for x in text)
+    return text.lower()
+
+
+def normalize_text(text: str, lang: str = "en") -> List[str]:
+    """Scoring tokens after the reference's post_process: whitespace-split
+    words (en) / characters (zh)."""
+    return post_process(text, lang).split()
 
 
 def wer(ref: str, hyp: str, lang: str = "en") -> Dict[str, float]:
