@@ -2,6 +2,7 @@
 (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 
@@ -74,3 +75,73 @@ def test_module_gate_pallas_matches_xla():
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def _xla_weights(q, k, p, pe, mask, penalty=False):
+    """The XLA fallback formula (models/zipformer.py skew path), for
+    train-path grad parity."""
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.ops.scaling import penalize_abs_values_gt
+
+    B, h, T, _ = q.shape
+    attn = jnp.einsum("bhtd,bhsd->bhts", q, k)
+    pos_scores = jnp.einsum("bhtd,hnd->bhtn", p, pe)
+    padded = jnp.pad(pos_scores, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    flat = padded.reshape(B, h, 2 * T * T)
+    flat = jax.lax.slice_in_dim(flat, T - 1, T - 1 + T * (2 * T - 1), axis=-1)
+    pos = flat.reshape(B, h, T, 2 * T - 1)[..., :T]
+    scores = attn + pos
+    if penalty:
+        scores = penalize_abs_values_gt(scores, 25.0, 1.0e-04)
+    scores = jnp.where(mask[:, None, None, :], -1000.0, scores)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+@pytest.mark.parametrize("penalty_on", [False, True])
+def test_trainable_kernel_grad_parity(penalty_on):
+    """Custom-VJP pallas path == XLA path for values AND all input grads,
+    including the failsafe score penalty when scores exceed the limit."""
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.ops.pallas_attention import (
+        rel_pos_attention_weights_trainable,
+    )
+
+    B, h, T, qd, pd = 2, 2, 32, 8, 4
+    rng = np.random.RandomState(0)
+    scale = 4.0 if penalty_on else 0.5  # push |scores| > 25 when testing it
+    q = (scale * rng.randn(B, h, T, qd)).astype(np.float32)
+    k = (scale * rng.randn(B, h, T, qd)).astype(np.float32)
+    p = rng.randn(B, h, T, pd).astype(np.float32)
+    pe = rng.randn(h, 2 * T - 1, pd).astype(np.float32)
+    mask = np.zeros((B, T), bool)
+    mask[1, -5:] = True
+    g = rng.randn(B, h, T, T).astype(np.float32)
+    coin = jnp.asarray(1.0 if penalty_on else 0.0)
+
+    def f_kernel(q, k, p, pe):
+        w = rel_pos_attention_weights_trainable(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(p), jnp.asarray(pe),
+            jnp.asarray(mask), coin, interpret=True,
+        )
+        return jnp.sum(w * g)
+
+    def f_xla(q, k, p, pe):
+        w = _xla_weights(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(p), jnp.asarray(pe),
+            jnp.asarray(mask), penalty=penalty_on,
+        )
+        return jnp.sum(w * g)
+
+    v1, g1 = jax.value_and_grad(f_kernel, argnums=(0, 1, 2, 3))(q, k, p, pe)
+    v2, g2 = jax.value_and_grad(f_xla, argnums=(0, 1, 2, 3))(q, k, p, pe)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    if penalty_on:
+        # the penalty recompute branch must actually have fired
+        assert np.abs(np.asarray(g1[0]) - np.asarray(g2[0])).max() < 1e-4
+    for a, b, name in zip(g1, g2, "qkp e"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3,
+            err_msg=f"grad {name}",
+        )

