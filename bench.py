@@ -51,17 +51,24 @@ def host_init_params(model, rng, **init_kwargs):
 
 
 def main(use_pallas: bool = False, num_step: int = 16,
-         gs: float = 1.0):
+         gs: float = 1.0, batch: int = 8, model_name: str = "base"):
     from zipvoice_tpu.frontend.batch import pad_tokens
     from zipvoice_tpu.models.zipvoice import ZipVoice, strip_prompt
     from zipvoice_tpu.vocoder.vocos import Vocos
 
     dtype = jnp.bfloat16
-    model = ZipVoice(vocab_size=360, pad_id=0, dtype=dtype,
-                     use_pallas_attention=use_pallas)
+    if model_name == "dialog":
+        from zipvoice_tpu.models.dialog import ZipVoiceDialog
+
+        model = ZipVoiceDialog(vocab_size=388, pad_id=0, dtype=dtype,
+                               spk_a_id=360, spk_b_id=361,
+                               use_pallas_attention=use_pallas)
+    else:
+        model = ZipVoice(vocab_size=360, pad_id=0, dtype=dtype,
+                         use_pallas_attention=use_pallas)
     F = model.feat_dim
 
-    B = 8
+    B = batch
     frames_per_sec = 24000 / 256
     prompt_s, gen_s = 3.0, 10.0
     Tp = int(prompt_s * frames_per_sec)
@@ -152,8 +159,9 @@ def main(use_pallas: bool = False, num_step: int = 16,
             {
                 "metric": (
                     "rtf_zipvoice_base_16step_bf16_1chip_batch8"
-                    if num_step == 16
-                    else f"rtf_zipvoice_{num_step}step_bf16_1chip_batch8"
+                    if num_step == 16 and B == 8 and model_name == "base"
+                    else f"rtf_zipvoice_{model_name}_{num_step}step_bf16"
+                         f"_1chip_batch{B}"
                 ),
                 "value": round(rtf, 5),
                 "unit": "rtf (wall_s per generated audio_s, incl. vocoder)",
@@ -164,7 +172,8 @@ def main(use_pallas: bool = False, num_step: int = 16,
 
 
 def _run_pallas_child(timeout_s: float, num_step: int = 16,
-                      gs: float = 1.0) -> bool:
+                      gs: float = 1.0, batch: int = 8,
+                      model_name: str = "base") -> bool:
     """Run the pallas-enabled measurement in a subprocess; relay its output.
     Returns True if it produced the JSON result line.  Isolation matters:
     a cold Mosaic compile can exceed any sane bench budget (~20 min/kernel
@@ -176,7 +185,8 @@ def _run_pallas_child(timeout_s: float, num_step: int = 16,
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pallas", "on",
-             "--steps", str(num_step), "--guidance", str(gs)],
+             "--steps", str(num_step), "--guidance", str(gs),
+             "--batch", str(batch), "--model", model_name],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -206,14 +216,21 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=16,
                     help="ODE steps (4/8 = the distill model's budget)")
     ap.add_argument("--guidance", type=float, default=None)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="batch size (1 = serving latency shape)")
+    ap.add_argument("--model", choices=["base", "dialog"], default="base")
     args = ap.parse_args()
     gs = args.guidance if args.guidance is not None else (
         1.0 if args.steps == 16 else 3.0
     )
     if args.pallas == "on":
-        main(use_pallas=True, num_step=args.steps, gs=gs)
+        main(use_pallas=True, num_step=args.steps, gs=gs,
+             batch=args.batch, model_name=args.model)
     elif args.pallas == "off":
-        main(use_pallas=False, num_step=args.steps, gs=gs)
+        main(use_pallas=False, num_step=args.steps, gs=gs,
+             batch=args.batch, model_name=args.model)
     else:
-        if not _run_pallas_child(args.pallas_timeout, args.steps, gs):
-            main(use_pallas=False, num_step=args.steps, gs=gs)
+        if not _run_pallas_child(args.pallas_timeout, args.steps, gs,
+                                 args.batch, args.model):
+            main(use_pallas=False, num_step=args.steps, gs=gs,
+                 batch=args.batch, model_name=args.model)

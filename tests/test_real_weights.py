@@ -236,3 +236,57 @@ def test_published_utmos(tmp_path):
     with torch.no_grad():
         score = float(model(x, 16000).mean())
     assert 1.0 <= score <= 5.0, score
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PYANNOTE_CKPT"),
+    reason="set PYANNOTE_CKPT to a local pyannote diarization model "
+           "(and have pyannote.audio installed) for the diarizer A/B",
+)
+def test_diarizer_ab_vs_pyannote(tmp_path):
+    """A/B the homemade energy-VAD + embedding-2-means diarizer
+    (eval/cpsim_cli.py) against pyannote on a synthetic two-speaker take:
+    both must assign >=80% of voiced time consistently (up to label
+    permutation).  The reference uses pyannote for cpSIM
+    (eval/speaker_similarity/cpsim.py)."""
+    pyannote = pytest.importorskip("pyannote.audio")
+    import numpy as np
+
+    from zipvoice_tpu.eval.cpsim_cli import diarize_two
+
+    sr = 16000
+    # alternating 2s turns of two spectrally distinct pseudo-voices
+    t = np.arange(2 * sr) / sr
+    spk_a = 0.3 * np.sin(2 * np.pi * 120 * t) * (1 + 0.3 * np.sin(14 * t))
+    spk_b = 0.3 * np.sin(2 * np.pi * 240 * t) * (1 + 0.3 * np.sin(9 * t))
+    sil = np.zeros(sr // 2)
+    wav = np.concatenate([spk_a, sil, spk_b, sil, spk_a, sil, spk_b]).astype(
+        np.float32
+    )
+
+    def embed(x):
+        # spectral centroid-ish embedding distinguishing the two speakers
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        freqs = np.fft.rfftfreq(len(x), 1 / sr)
+        c = float((spec * freqs).sum() / (spec.sum() + 1e-9))
+        return np.array([c, np.sqrt((x ** 2).mean())])
+
+    ours_a, ours_b = diarize_two(wav, sr, embed)
+
+    from pyannote.audio import Pipeline
+
+    pipe = Pipeline.from_pretrained(os.environ["PYANNOTE_CKPT"])
+    import soundfile as sf
+
+    path = str(tmp_path / "two.wav")
+    sf.write(path, wav, sr)
+    diar = pipe(path)
+    # total per-speaker duration agreement (permutation-invariant)
+    py_durs = {}
+    for turn, _, spk in diar.itertracks(yield_label=True):
+        py_durs[spk] = py_durs.get(spk, 0.0) + turn.duration
+    assert len(py_durs) == 2, py_durs
+    ours = sorted([len(ours_a) / sr, len(ours_b) / sr])
+    theirs = sorted(py_durs.values())
+    for o, p in zip(ours, theirs):
+        assert abs(o - p) / max(p, 1e-9) < 0.2, (ours, theirs)
