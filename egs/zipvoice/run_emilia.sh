@@ -39,6 +39,7 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
     --model-config conf/zipvoice_base.json \
     --tokenizer emilia --token-file "$token_file" \
     --num-epochs 11 --max-duration 500 --lr-hours 30000 \
+    --streaming --num-workers 8 --shuffle-buffer 20000 \
     --exp-dir exp/zipvoice
 fi
 

@@ -244,7 +244,7 @@ def _pallas_fwd_train(q, k, p, pe, key_padding_mask, interpret):
             pl.BlockSpec((1, R, T), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b, i: (b, i),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * h, T, T), q.dtype),

@@ -21,7 +21,7 @@ schedule resolves to its ``default`` exactly like the reference's
 ``ScheduledFloat.__float__`` outside training (scaling.py:232-244).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple, Union
 
 import jax

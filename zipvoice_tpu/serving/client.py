@@ -4,7 +4,10 @@ percentiles; this speaks the HTTP/JSON protocol of serving/server.py).
 
   python -m zipvoice_tpu.serving.client --url http://localhost:8000 \
     --prompt-wav prompt.wav --prompt-text "..." \
-    --text "hello" --concurrency 1,2,4,8 --num-requests 32 [--use-cache]
+    --text "hello" --concurrency 1,2,4,8 --num-requests 32 [--use-cache] \
+    [--text-file texts.txt]   # one text per line, cycled across requests
+                              # (the reference harness drives a dataset,
+                              # runtime/nvidia_triton/client_grpc.py)
 """
 
 import argparse
@@ -33,13 +36,20 @@ def main():
     p.add_argument("--url", type=str, default="http://localhost:8000")
     p.add_argument("--prompt-wav", type=str, required=True)
     p.add_argument("--prompt-text", type=str, required=True)
-    p.add_argument("--text", type=str, required=True)
+    p.add_argument("--text", type=str, default=None)
+    p.add_argument("--text-file", type=str, default=None,
+                   help="file with one text per line, cycled across "
+                        "requests (dataset-driven benchmarking)")
     p.add_argument("--concurrency", type=str, default="1,2,4,8")
     p.add_argument("--num-requests", type=int, default=32)
     p.add_argument("--use-cache", action="store_true",
                    help="register the speaker once and reuse it")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
+    assert args.text or args.text_file, "pass --text or --text-file"
+    texts = [args.text] if args.text else [
+        ln.strip() for ln in open(args.text_file) if ln.strip()
+    ]
 
     with open(args.prompt_wav, "rb") as f:
         wav_b64 = base64.b64encode(f.read()).decode()
@@ -50,16 +60,18 @@ def main():
             "prompt_text": args.prompt_text,
             "prompt_wav_b64": wav_b64,
         })
-        payload = {"speaker": "bench", "text": args.text}
+        def payload_for(text):
+            return {"speaker": "bench", "text": text}
     else:
-        payload = {
-            "text": args.text,
-            "prompt_text": args.prompt_text,
-            "prompt_wav_b64": wav_b64,
-        }
+        def payload_for(text):
+            return {
+                "text": text,
+                "prompt_text": args.prompt_text,
+                "prompt_wav_b64": wav_b64,
+            }
 
     # warmup (compile)
-    post(args.url, "/tts", payload)
+    post(args.url, "/tts", payload_for(texts[0]))
 
     for conc in map(int, args.concurrency.split(",")):
         latencies = []
@@ -67,17 +79,20 @@ def main():
         lock = threading.Lock()
         n_per = args.num_requests // conc
 
-        def worker():
-            for _ in range(n_per):
+        def worker(wid):
+            for j in range(n_per):
+                text = texts[(wid + j * conc) % len(texts)]
                 t0 = time.perf_counter()
-                out = post(args.url, "/tts", payload)
+                out = post(args.url, "/tts", payload_for(text))
                 dt = time.perf_counter() - t0
                 with lock:
                     latencies.append(dt)
                     audio_s.append(out["audio_s"])
 
         t_start = time.perf_counter()
-        threads = [threading.Thread(target=worker) for _ in range(conc)]
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(conc)
+        ]
         for t in threads:
             t.start()
         for t in threads:
