@@ -199,7 +199,9 @@ def _attn_weights_train_kernel(
     )
     pos = pltpu.roll(pos_win, T + 1, 1, stride=1, stride_axis=0)[:, :T]
     scores = qk + pos
-    smax_ref[0, 0] = jnp.max(jnp.abs(scores))
+    # the whole (B*h, n_tiles) smax buffer is one SMEM block shared across
+    # grid steps (constant index map); each step writes its own cell
+    smax_ref[pl.program_id(0), pl.program_id(1)] = jnp.max(jnp.abs(scores))
     masked = jnp.where(mask_ref[0, 0, :][None, :], -1000.0, scores)
     masked = masked - jnp.max(masked, axis=-1, keepdims=True)
     e = jnp.exp(masked)
@@ -243,8 +245,10 @@ def _pallas_fwd_train(q, k, p, pe, key_padding_mask, interpret):
         out_specs=[
             pl.BlockSpec((1, R, T), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, i: (b, i),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (B * h, n_tiles), lambda b, i: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * h, T, T), q.dtype),
