@@ -234,6 +234,10 @@ def main():
     exp_dir = Path(args.exp_dir)
     is_primary = jax.process_index() == 0
     exp_dir.mkdir(parents=True, exist_ok=True)
+    from zipvoice_tpu.utils.metrics_tracker import MetricsTracker, setup_logger
+
+    # console + per-process log file (reference common.py:448-498)
+    setup_logger(str(exp_dir), jax.process_index())
     # self-describing exp dir (reference train_zipvoice.py:887-889); all
     # writes below are gated on process 0 (the reference gates on rank 0,
     # train_zipvoice.py:931-934,645-665)
@@ -559,7 +563,7 @@ def main():
     profiling = False
     batches_this_run = 0
     step_rng = jax.random.PRNGKey(args.seed + 1)
-    tot_loss, tot_frames = 0.0, 0
+    tracker = MetricsTracker()
     t_start = time.time()
     saved_iters = []
 
@@ -641,8 +645,12 @@ def main():
                 logging.error(f"step failed; batch saved to {bad}")
                 raise
             frames = int(batch["features_lens"].sum())
-            tot_loss += loss * frames
-            tot_frames += frames
+            # frame-normalized multi-metric tracking (reference
+            # MetricsTracker, common.py:57-146)
+            tracker["loss"] += loss * frames
+            tracker["grad_norm"] += float(metrics["grad_norm"]) * frames
+            tracker["frames"] += frames
+            tracker["utterances"] += int(batch["features"].shape[0])
 
             # trace batches 10-14 of THIS invocation (a resumed run's global
             # step never equals 10, so the trigger is run-local)
@@ -661,16 +669,18 @@ def main():
 
             if step % args.log_interval == 0:
                 lr = float(schedule(step))
-                speed = tot_frames / max(time.time() - t_start, 1e-9)
+                speed = tracker.get("frames", 0) / max(
+                    time.time() - t_start, 1e-9
+                )
                 logging.info(
                     f"epoch {epoch} step {step}: loss {loss:.4f} "
-                    f"(avg {tot_loss / max(tot_frames, 1):.4f}) lr {lr:.2e} "
-                    f"frames/s {speed:.0f}"
+                    f"[{tracker}] lr {lr:.2e} frames/s {speed:.0f}"
                 )
                 if tb:
                     tb.add_scalar("train/loss", loss, step)
                     tb.add_scalar("train/lr", lr, step)
-                tot_loss, tot_frames, t_start = 0.0, 0, time.time()
+                    tracker.write_summary(tb, "train", step)
+                tracker, t_start = MetricsTracker(), time.time()
 
             if step % args.average_period == 0 and is_primary:
                 model_avg = update_averaged_model(

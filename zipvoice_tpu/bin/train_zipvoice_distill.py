@@ -144,7 +144,9 @@ def main():
     tx = scaled_adam(lr=schedule, clipping_scale=args.clipping_scale)
     mesh = make_mesh(n_data=args.num_data_parallel)
     step_fn = make_distill_train_step(
-        student_model, teacher_model, tx, stage=args.distill_stage, mesh=mesh
+        student_model, teacher_model, tx, stage=args.distill_stage, mesh=mesh,
+        schedules=args.schedules, max_duration=args.max_duration,
+        ref_duration=args.ref_duration,
     )
 
     state = init_train_state(params, tx)
