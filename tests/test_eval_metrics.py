@@ -110,6 +110,8 @@ def test_post_process_matches_reference_algorithm():
 
     from zipvoice_tpu.eval.metrics import _CJK_PUNCT, post_process
 
+    added = []  # stubs are removed afterwards — leaking a fake 'soundfile'
+    # or 'scipy' into sys.modules breaks frontend/audio in later tests
     if "zipvoice.eval.wer.seedtts" not in sys.modules:
         for name, attrs in (
             ("funasr", {"AutoModel": object}),
@@ -130,22 +132,31 @@ def test_post_process_matches_reference_algorithm():
                 for k, v in attrs.items():
                     setattr(m, k, v)
                 sys.modules[name] = m
+                added.append(name)
         zhon = types.ModuleType("zhon")
         hanzi = types.ModuleType("zhon.hanzi")
         # strip the ASCII stops we appended; zhon's table is the CJK part
         hanzi.punctuation = _CJK_PUNCT
         zhon.hanzi = hanzi
-        sys.modules.setdefault("zhon", zhon)
-        sys.modules.setdefault("zhon.hanzi", hanzi)
+        for name, mod in (("zhon", zhon), ("zhon.hanzi", hanzi)):
+            if name not in sys.modules:
+                sys.modules[name] = mod
+                added.append(name)
 
-    from zipvoice.eval.wer.seedtts import post_process as ref_pp
+    try:
+        from zipvoice.eval.wer.seedtts import post_process as ref_pp
 
-    cases = [
-        ("Hello, World! It's co-op; fine?", "en"),
-        ("The  quick... brown 'fox'!", "en"),
-        ("你好，世界！“引用”……完。", "zh"),
-        ("中文 with English mixed, ok?", "zh"),
-        ("no punct here", "en"),
-    ]
-    for text, lang in cases:
-        assert post_process(text, lang) == ref_pp(text, lang), (text, lang)
+        cases = [
+            ("Hello, World! It's co-op; fine?", "en"),
+            ("The  quick... brown 'fox'!", "en"),
+            ("你好，世界！“引用”……完。", "zh"),
+            ("中文 with English mixed, ok?", "zh"),
+            ("no punct here", "en"),
+        ]
+        for text, lang in cases:
+            assert post_process(text, lang) == ref_pp(text, lang), (
+                text, lang,
+            )
+    finally:
+        for name in added:
+            sys.modules.pop(name, None)
