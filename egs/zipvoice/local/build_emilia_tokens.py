@@ -32,6 +32,17 @@ FINALS = [
 PUNCT = list(",.!?;:'\"-…()") + [" "]
 
 
+def espeak_ipa_inventory():
+    """The espeak IPA codepoint inventory (piper get_espeak_map tokens),
+    shipped statically so English phoneme tokens always have ids even when
+    no tokenized manifest is given (reference builds this from
+    piper_phonemize.get_espeak_map(), egs/zipvoice/local/
+    prepare_token_file_emilia.py:72-75)."""
+    from zipvoice_tpu.frontend.en_g2p import ESPEAK_IPA_CODEPOINTS
+
+    return list(ESPEAK_IPA_CODEPOINTS)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--output", type=str, required=True)
@@ -42,6 +53,7 @@ def main():
 
     tokens = ["_"]
     tokens += PUNCT
+    tokens += espeak_ipa_inventory()
     tokens += [i + "0" for i in INITIALS]
     tokens += [f + str(t) for f in FINALS for t in range(1, 6)]
 

@@ -12,7 +12,6 @@ serving/server.py and bin/infer_zipvoice.py.
 import argparse
 import json
 import os
-import string
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -59,11 +58,20 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
 
-    # emilia-ish char token table (ids only matter for shapes here)
-    chars = (
-        ["_"] + list(string.ascii_lowercase) + list(string.ascii_uppercase)
-        + list(" .,!?;:'\"-0123456789") + [f"tok{i}" for i in range(280)]
+    # real emilia vocabulary (punct + espeak IPA inventory + pinyin), so
+    # the first-party G2P's phoneme tokens all have ids
+    local = os.path.join(HERE, "egs", "zipvoice", "local")
+    sys.path.insert(0, local)
+    from build_emilia_tokens import (  # noqa: E402
+        FINALS,
+        INITIALS,
+        PUNCT,
+        espeak_ipa_inventory,
     )
+
+    chars = ["_"] + PUNCT + espeak_ipa_inventory()
+    chars += [i + "0" for i in INITIALS]
+    chars += [f + str(t) for f in FINALS for t in range(1, 6)]
     with open(os.path.join(args.out, "tokens.txt"), "w") as f:
         for i, c in enumerate(chars):
             f.write(f"{c}\t{i}\n")

@@ -109,7 +109,8 @@ _BACKEND_CACHE = {}
 
 
 def get_g2p(voice: str = "en-us"):
-    """EspeakG2P if the library is present, else CharG2P (with a warning)."""
+    """Backend selection: libespeak-ng when present; else the first-party
+    English G2P (frontend/en_g2p.py) for en-* voices; CharG2P last."""
     if voice in _BACKEND_CACHE:
         return _BACKEND_CACHE[voice]
     try:
@@ -117,11 +118,21 @@ def get_g2p(voice: str = "en-us"):
     except (RuntimeError, OSError):
         import logging
 
-        logging.warning(
-            "libespeak-ng unavailable; falling back to character-level G2P "
-            "(phoneme token ids will NOT match reference checkpoints)"
-        )
-        backend = CharG2P(voice)
+        if voice.startswith("en"):
+            from zipvoice_tpu.frontend.en_g2p import EnglishG2P
+
+            logging.info(
+                "libespeak-ng unavailable; using the first-party English "
+                "G2P (espeak-convention IPA; see frontend/en_g2p.py)"
+            )
+            backend = EnglishG2P(voice)
+        else:
+            logging.warning(
+                f"libespeak-ng unavailable and no first-party G2P for "
+                f"voice {voice}; falling back to character-level G2P "
+                "(phoneme token ids will NOT match reference checkpoints)"
+            )
+            backend = CharG2P(voice)
     _BACKEND_CACHE[voice] = backend
     return backend
 

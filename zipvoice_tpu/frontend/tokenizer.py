@@ -222,20 +222,24 @@ class EmiliaTokenizer(_TokenFileMixin):
             text = self.chinese_normalizer.normalize(text)
             try:
                 import jieba
-                from pypinyin import Style, lazy_pinyin
 
                 segs = list(jieba.cut(text))
+            except ImportError:
+                segs = [text]
+            try:
+                from pypinyin import Style, lazy_pinyin
+
                 full = lazy_pinyin(
                     segs, style=Style.TONE3, tone_sandhi=True,
                     neutral_tone_with_five=True,
                 )
             except ImportError:
-                # self-contained fallback: lexicon-based greedy-match G2P
-                # with the same sandhi rules (frontend/zh_g2p.py); extend
-                # coverage with $ZIPVOICE_PINYIN_LEXICON (TSV or CC-CEDICT)
+                # self-contained pinyin fallback: word-level lexicon lookup
+                # + the same word-based sandhi rules (frontend/zh_g2p.py);
+                # extend with $ZIPVOICE_PINYIN_LEXICON (TSV or CC-CEDICT)
                 from zipvoice_tpu.frontend.zh_g2p import default_lexicon
 
-                full = default_lexicon().g2p(text)
+                full = default_lexicon().g2p_words(segs)
             phones = []
             for x in full:
                 if not (x[0:-1].isalpha() and x[-1] in "12345"):

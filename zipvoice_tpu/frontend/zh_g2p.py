@@ -239,11 +239,33 @@ class PinyinLexicon:
             for line in _SEED_WORDS.strip().splitlines():
                 parts = line.split()
                 self._add(parts[0], parts[1:])
+            self._load_groups()
         lexicon_file = lexicon_file or os.environ.get(
             "ZIPVOICE_PINYIN_LEXICON"
         )
         if lexicon_file:
             self.load_file(lexicon_file)
+
+    def _load_groups(self):
+        """Load the bundled grouped reading table
+        (data/pinyin_groups.txt: '<tone3 syllable> <chars>' lines).  The
+        curated seed always wins; within the groups file the first listing
+        of a char wins (dominant readings are listed under their most
+        common syllable)."""
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "pinyin_groups.txt"
+        )
+        if not os.path.exists(path):
+            return
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                syl, _, chars = line.partition(" ")
+                for ch in chars.strip():
+                    if ch not in self.table:
+                        self._add(ch, [syl])
 
     def _add(self, word: str, readings: List[str]):
         self.table[word] = readings
@@ -310,6 +332,35 @@ class PinyinLexicon:
         words = apply_tone_sandhi(words)
         flat: List[str] = []
         for word, readings in words:
+            flat.extend(readings if readings is not None else [word])
+        return flat
+
+    def lookup_word(self, word: str) -> List[str]:
+        """Readings for one segmented word: exact lexicon hit, else
+        greedy-match composition over its characters."""
+        if word in self.table:
+            return list(self.table[word])
+        out: List[str] = []
+        for part, readings in self.segment(word):
+            # unknown chars pass through verbatim (pypinyin errors='default')
+            out.extend(readings if readings is not None else [part])
+        return out
+
+    def g2p_words(self, words: List[str]) -> List[str]:
+        """lazy_pinyin-compatible conversion of a pre-segmented word list
+        (e.g. jieba output): non-han elements pass through verbatim
+        (pypinyin keeps punctuation/spaces, reference tokenizer.py:298-316),
+        han words are converted with word-based tone sandhi across the
+        whole list (mirroring pypinyin's tone_sandhi=True)."""
+        pairs: List[Tuple[str, Optional[List[str]]]] = []
+        for w in words:
+            if any("一" <= ch <= "鿿" for ch in w):
+                pairs.append((w, self.lookup_word(w)))
+            else:
+                pairs.append((w, None))
+        pairs = apply_tone_sandhi(pairs)
+        flat: List[str] = []
+        for word, readings in pairs:
             flat.extend(readings if readings is not None else [word])
         return flat
 
