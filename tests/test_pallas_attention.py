@@ -145,3 +145,81 @@ def test_trainable_kernel_grad_parity(penalty_on):
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3,
             err_msg=f"grad {name}",
         )
+
+
+def test_attention_apply_matches():
+    """attention_apply kernel == einsum application (interpret on CPU)."""
+    from zipvoice_tpu.ops.pallas_attention import attention_apply
+
+    rng = np.random.RandomState(1)
+    B, h, T, vd = 2, 4, 128, 12
+    w = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, h, T, T).astype(np.float32)), axis=-1
+    )
+    v = jnp.asarray(rng.randn(B, h, T, vd).astype(np.float32))
+    ref = jnp.einsum("bhts,bhsd->bhtd", w, v)
+    out = attention_apply(w, v, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5
+    )
+
+
+def test_weights_nonlin_fused_matches():
+    """Fused weights+NonlinAttention kernel == split jnp computation."""
+    from zipvoice_tpu.ops.pallas_attention import (
+        rel_pos_attention_weights_nonlin,
+    )
+
+    rng = np.random.RandomState(2)
+    B, h, T, qd, pd, hid = 2, 4, 128, 8, 4, 48
+    q = rng.randn(B, h, T, qd).astype(np.float32)
+    k = rng.randn(B, h, T, qd).astype(np.float32)
+    p = (rng.randn(B, h, T, pd) * 0.3).astype(np.float32)
+    pe = rng.randn(h, 2 * T - 1, pd).astype(np.float32)
+    nv = rng.randn(B, T, hid).astype(np.float32)
+    lens = np.array([T, T - 29])
+    mask = np.arange(T)[None, :] >= lens[:, None]
+
+    ref_w = np.asarray(
+        jnp_reference(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(p),
+            jnp.asarray(pe), jnp.asarray(mask),
+        )
+    )
+    ref_na = np.einsum("bts,bsd->btd", ref_w[:, 0], nv)
+    w, na = rel_pos_attention_weights_nonlin(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(p), jnp.asarray(pe),
+        jnp.asarray(mask), jnp.asarray(nv), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(w), ref_w, atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(na), ref_na, atol=1e-4, rtol=1e-4)
+
+
+def test_layer_fused_path_matches_xla():
+    """Full ZipformerEncoderLayer: fused pallas inference path (weights +
+    nonlin application in one kernel, pallas SelfAttention application) ==
+    plain XLA path."""
+    from zipvoice_tpu.models.zipformer import (
+        ZipformerEncoderLayer,
+        compact_rel_pos_encoding,
+    )
+    from zipvoice_tpu.ops import pallas_attention as pa
+
+    B, T, D = 1, pa.MIN_SEQ_LEN, 64
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    mask = jnp.zeros((B, T), bool).at[:, -33:].set(True)
+    pos = compact_rel_pos_encoding(T, 48)
+
+    kw = dict(embed_dim=D, pos_dim=48, num_heads=4, query_head_dim=8,
+              pos_head_dim=4, value_head_dim=12, feedforward_dim=96,
+              cnn_module_kernel=15)
+    mod = ZipformerEncoderLayer(**kw)
+    params = mod.init(jax.random.PRNGKey(0), x, pos)
+    ref = mod.apply(params, x, pos, key_padding_mask=mask)
+    out = ZipformerEncoderLayer(**kw, use_pallas_attention=True).apply(
+        params, x, pos, key_padding_mask=mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=2e-5
+    )

@@ -253,7 +253,8 @@ class RelPosAttentionWeights(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_emb, key_padding_mask=None,
-                 train: bool = False, batch_count=None):
+                 train: bool = False, batch_count=None,
+                 return_projections: bool = False):
         h, qd, pd = self.num_heads, self.query_head_dim, self.pos_head_dim
         B, T, _ = x.shape
         proj = dense(
@@ -283,6 +284,27 @@ class RelPosAttentionWeights(nn.Module):
         )
 
         from zipvoice_tpu.ops import pallas_attention as _pa
+
+        if return_projections:
+            # inference-only fused path (ZipformerEncoderLayer defers the
+            # weights computation so the kernel can also apply
+            # NonlinAttention's values in the same VMEM pass)
+            assert not train
+            pe_h = pe_proj(pos_emb).reshape(2 * T - 1, h, pd).transpose(
+                1, 0, 2
+            )
+            mask = (
+                key_padding_mask
+                if key_padding_mask is not None
+                else jnp.zeros((B, T), bool)
+            )
+            return (
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                p.transpose(0, 2, 1, 3),
+                pe_h,
+                mask,
+            )
 
         if self.use_pallas and T % 8 == 0 and T >= _pa.MIN_SEQ_LEN:
             pe_h = pe_proj(pos_emb).reshape(2 * T - 1, h, pd).transpose(
@@ -368,6 +390,14 @@ class RelPosAttentionWeights(nn.Module):
             attn_scores = jnp.where(
                 key_padding_mask[:, None, None, :], -1000.0, attn_scores
             )
+        if not train and attn_scores.dtype == jnp.bfloat16:
+            # inference: keep the materialized O(T^2) exp intermediate in
+            # bf16 (halves this path's HBM traffic) while accumulating the
+            # normalizer in f32 — the stored weights are bf16 either way
+            m = jnp.max(attn_scores, axis=-1, keepdims=True)
+            e = jnp.exp(attn_scores - m)
+            s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            return (e.astype(jnp.float32) / s).astype(attn_scores.dtype)
         return jax.nn.softmax(attn_scores.astype(jnp.float32), axis=-1).astype(
             attn_scores.dtype
         )
@@ -380,6 +410,7 @@ class SelfAttention(nn.Module):
     num_heads: int
     value_head_dim: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, attn_weights, train: bool = False,
@@ -388,7 +419,16 @@ class SelfAttention(nn.Module):
         h, vd = self.num_heads, self.value_head_dim
         v = dense(h * vd, self.embed_dim, dtype=self.dtype, name="in_proj")(x)
         v = v.reshape(B, T, h, vd)
-        out = jnp.einsum("bhts,bshd->bthd", attn_weights, v)
+        from zipvoice_tpu.ops import pallas_attention as _pa
+
+        if (self.use_pallas and not train and T % 8 == 0
+                and T >= _pa.MIN_SEQ_LEN):
+            # weights @ values with a tiny N dim (vd=12) pays ~15× the HBM
+            # floor under XLA's layout choices; stream it through VMEM
+            out = _pa.attention_apply(attn_weights, v.transpose(0, 2, 1, 3))
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            out = jnp.einsum("bhts,bshd->bthd", attn_weights, v)
         out = out.reshape(B, T, h * vd)
         out = dense(
             self.embed_dim, h * vd, initial_scale=0.05, dtype=self.dtype,
@@ -418,8 +458,11 @@ class NonlinAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_weights_head0, train: bool = False,
-                 batch_count=None):
-        # attn_weights_head0: (B, T, T)
+                 batch_count=None, apply_fn=None):
+        # attn_weights_head0: (B, T, T); or None with apply_fn set, in
+        # which case apply_fn(v) performs the weights @ v application
+        # (the layer's fused pallas path, which computes the weights and
+        # this product in one VMEM pass)
         proj = dense(
             self.hidden_channels * 3, self.channels, dtype=self.dtype,
             name="in_proj",
@@ -447,7 +490,10 @@ class NonlinAttention(nn.Module):
                 ),
                 v,
             )
-        v = jnp.einsum("bts,bsd->btd", attn_weights_head0, v)
+        if apply_fn is not None:
+            v = apply_fn(v)
+        else:
+            v = jnp.einsum("bts,bsd->btd", attn_weights_head0, v)
         v = v * y
         v = dense(
             self.channels, self.hidden_channels, initial_scale=0.05,
@@ -627,7 +673,17 @@ class ZipformerEncoderLayer(nn.Module):
         scheds_on = train and batch_count is not None
         bc = batch_count if train else None
 
-        attn_weights = RelPosAttentionWeights(
+        from zipvoice_tpu.ops import pallas_attention as _pa
+
+        # inference fused path: defer the weights kernel until
+        # NonlinAttention's gated values exist, so one VMEM pass emits both
+        use_fused = (
+            not train
+            and self.use_pallas_attention
+            and src.shape[1] % 8 == 0
+            and src.shape[1] >= _pa.MIN_SEQ_LEN
+        )
+        attn_mod = RelPosAttentionWeights(
             embed_dim=d,
             pos_dim=self.pos_dim,
             num_heads=self.num_heads,
@@ -636,7 +692,16 @@ class ZipformerEncoderLayer(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas_attention,
             name="self_attn_weights",
-        )(src, pos_emb, key_padding_mask, train=train, batch_count=bc)
+        )
+        if use_fused:
+            q_t, k_t, p_t, pe_h, kp_mask = attn_mod(
+                src, pos_emb, key_padding_mask, return_projections=True
+            )
+            attn_weights = None
+        else:
+            attn_weights = attn_mod(
+                src, pos_emb, key_padding_mask, train=train, batch_count=bc
+            )
 
         ff_kw = dict(train=train, dropout_rate=dropout_rate, batch_count=bc)
 
@@ -656,23 +721,41 @@ class ZipformerEncoderLayer(nn.Module):
                 src.dtype,
             )
 
-        # head-0 weights consumed by NonlinAttention; under the scheduled
-        # const-attention coin they become a uniform average over the
-        # positions the softmax kept (reference zipformer.py:542-556)
-        sel_weights = attn_weights[:, 0]
-        if scheds_on:
-            coin = (
-                _rand_uniform(self.make_rng("skip"), ())
-                < sched.CONST_ATTENTION(batch_count)
-            )
-            nonzero = (sel_weights > 0.0).astype(sel_weights.dtype)
-            const_w = nonzero / jnp.sum(nonzero, axis=-1, keepdims=True)
-            sel_weights = jnp.where(coin, const_w, sel_weights)
+        if use_fused:
+            fused_w = {}
 
-        na = NonlinAttention(
-            channels=d, hidden_channels=3 * d // 4, dtype=self.dtype,
-            name="nonlin_attention",
-        )(src, sel_weights, train=train, batch_count=bc)
+            def _fused_apply(nv):
+                w, na_raw = _pa.rel_pos_attention_weights_nonlin(
+                    q_t, k_t, p_t, pe_h, kp_mask, nv
+                )
+                fused_w["w"] = w
+                return na_raw
+
+            na = NonlinAttention(
+                channels=d, hidden_channels=3 * d // 4, dtype=self.dtype,
+                name="nonlin_attention",
+            )(src, None, train=train, batch_count=bc,
+              apply_fn=_fused_apply)
+            attn_weights = fused_w["w"].astype(src.dtype)
+        else:
+            # head-0 weights consumed by NonlinAttention; under the
+            # scheduled const-attention coin they become a uniform average
+            # over the positions the softmax kept (reference
+            # zipformer.py:542-556)
+            sel_weights = attn_weights[:, 0]
+            if scheds_on:
+                coin = (
+                    _rand_uniform(self.make_rng("skip"), ())
+                    < sched.CONST_ATTENTION(batch_count)
+                )
+                nonzero = (sel_weights > 0.0).astype(sel_weights.dtype)
+                const_w = nonzero / jnp.sum(nonzero, axis=-1, keepdims=True)
+                sel_weights = jnp.where(coin, const_w, sel_weights)
+
+            na = NonlinAttention(
+                channels=d, hidden_channels=3 * d // 4, dtype=self.dtype,
+                name="nonlin_attention",
+            )(src, sel_weights, train=train, batch_count=bc)
         if train:
             # balancer_na, scheduled min_abs (reference zipformer.py:416-423)
             na = _stochastic(
@@ -689,6 +772,7 @@ class ZipformerEncoderLayer(nn.Module):
         self_attn = SelfAttention(
             embed_dim=d, num_heads=self.num_heads,
             value_head_dim=self.value_head_dim, dtype=self.dtype,
+            use_pallas=self.use_pallas_attention,
             name="self_attn1",
         )(src, attn_weights, train=train, batch_count=bc)
         if attn_skip_mask is not None:
@@ -731,6 +815,7 @@ class ZipformerEncoderLayer(nn.Module):
         self_attn = SelfAttention(
             embed_dim=d, num_heads=self.num_heads,
             value_head_dim=self.value_head_dim, dtype=self.dtype,
+            use_pallas=self.use_pallas_attention,
             name="self_attn2",
         )(src, attn_weights, train=train, batch_count=bc)
         if attn_skip_mask is not None:
@@ -819,8 +904,10 @@ class ZipformerEncoder(nn.Module):
     ):
         T = src.shape[1]
         pos_emb = compact_rel_pos_encoding(T, self.pos_dim).astype(src.dtype)
-        if train and not _static_zero(dropout_rate):
-            # reference uses Dropout2(0.15) on the whole pos table
+        if train:
+            # reference uses Dropout2(0.15) on the whole pos table — a fixed
+            # rate, NOT gated on the scheduled layer dropout_rate (which can
+            # anneal to 0 late in training while this stays active)
             pos_emb = nn.Dropout(rate=0.15, deterministic=False)(pos_emb)
 
         if self.time_embed_dim != -1:

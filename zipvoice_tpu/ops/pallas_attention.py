@@ -168,6 +168,191 @@ def _rel_pos_attention_weights(
 
 
 # ---------------------------------------------------------------------------
+# Fused weights + NonlinAttention application (VERDICT round-2 Next #3).
+#
+# The reference layer consumes one attention-weights tensor three times
+# (reference zipformer.py:1325-1544): NonlinAttention (head 0 only), then
+# SelfAttention #1, then — after conv/ff — SelfAttention #2.  The consumers
+# are *sequentially dependent* (SelfAttention #1's values are projected
+# from the residual stream AFTER NonlinAttention's output is added), so
+# only the NonlinAttention application can fuse with the weights pass: its
+# gated value tensor depends on feed_forward1 alone, which is available
+# before the weights are needed.  This kernel computes each weights tile
+# in VMEM, writes it to HBM once (for the two SelfAttentions), and on
+# head 0 immediately applies it to the NonlinAttention values — saving one
+# full (B, T, T) HBM read of head-0 weights plus a kernel↔XLA boundary.
+#
+# Grid layout (B, n_tiles, heads) — heads fastest — so the nonlin output
+# block (indexed by (b, i) only) stays resident in VMEM across the head
+# iterations: it is written under @pl.when(head == 0) and flushed when
+# (b, i) advances (the standard pallas block-revisiting pattern).
+# ---------------------------------------------------------------------------
+
+
+def _attn_weights_nonlin_kernel(
+    q_ref, k_ref, p_ref, pe_ref, mask_ref, nv_ref, w_ref, na_ref,
+):
+    # q_ref: (1, R, qd); k_ref: (1, T, qd); p_ref: (1, R, pd)
+    # pe_ref: (1, 1, W, pd); mask_ref: (1, 1, T); nv_ref: (1, T, hid)
+    # w_ref: (1, R, T); na_ref: (1, R, hid)
+    T = k_ref.shape[1]
+
+    qk = jnp.dot(q_ref[0], k_ref[0].T, preferred_element_type=jnp.float32)
+    pos_win = jnp.dot(
+        p_ref[0], pe_ref[0, 0].T, preferred_element_type=jnp.float32
+    )
+    pos = pltpu.roll(pos_win, T + 1, 1, stride=1, stride_axis=0)[:, :T]
+    scores = qk + pos
+    scores = jnp.where(mask_ref[0, 0, :][None, :], -1000.0, scores)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)  # (R, T) f32
+    wc = w.astype(w_ref.dtype)
+    w_ref[0] = wc
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        na_ref[0] = jnp.dot(
+            wc, nv_ref[0], preferred_element_type=jnp.float32
+        ).astype(na_ref.dtype)
+
+
+def rel_pos_attention_weights_nonlin(
+    q: jax.Array,
+    k: jax.Array,
+    p: jax.Array,
+    pe: jax.Array,
+    key_padding_mask: jax.Array,
+    nv: jax.Array,
+    interpret: bool = None,
+):
+    """Fused weights + NonlinAttention application pass.
+
+    q, k: (B, h, T, qd); p: (B, h, T, pd); pe: (h, 2T-1, pd);
+    key_padding_mask: (B, T) bool; nv: (B, T, hid) (NonlinAttention's
+    tanh-gated value tensor, reference zipformer.py:1504-1520).
+
+    Returns (weights (B, h, T, T), na (B, T, hid)) where
+    na[b] = weights[b, 0] @ nv[b].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _rel_pos_attention_weights_nonlin(
+        q, k, p, pe, key_padding_mask, nv, interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rel_pos_attention_weights_nonlin(q, k, p, pe, key_padding_mask, nv,
+                                      interpret=False):
+    B, h, T, qd = q.shape
+    pd = p.shape[-1]
+    hid = nv.shape[-1]
+    R = _row_tile(T)
+    n_tiles = T // R
+    W = T + R
+
+    qf = q.reshape(B * h, T, qd)
+    kf = k.reshape(B * h, T, qd)
+    pf = p.reshape(B * h, T, pd)
+    pe_pad = jnp.concatenate([pe, jnp.zeros((h, 1, pd), pe.dtype)], axis=1)
+    pe_windows = jnp.stack(
+        [pe_pad[:, T - R - i * R : 2 * T - i * R, :] for i in range(n_tiles)],
+        axis=1,
+    )  # (h, n_tiles, W, pd)
+    maskf = key_padding_mask[:, None, :]  # (B, 1, T)
+
+    grid = (B, n_tiles, h)
+    w, na = pl.pallas_call(
+        _attn_weights_nonlin_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, R, qd), lambda b, i, hh: (b * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, qd), lambda b, i, hh: (b * h + hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, pd), lambda b, i, hh: (b * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, pd), lambda b, i, hh: (hh, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b, i, hh: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, hid), lambda b, i, hh: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, T), lambda b, i, hh: (b * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, hid), lambda b, i, hh: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * h, T, T), q.dtype),
+            jax.ShapeDtypeStruct((B, T, hid), q.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, pf, pe_windows, maskf, nv)
+    return w.reshape(B, h, T, T), na
+
+
+# ---------------------------------------------------------------------------
+# Attention application kernel (SelfAttention's weights @ values).
+#
+# The reference applies precomputed weights via a batched matmul with a
+# tiny N dimension (value_head_dim=12, reference zipformer.py:1325-1396).
+# XLA's lowering of einsum("bhts,bshd->bthd") pays layout transposes and a
+# narrow-N matmul that together cost ~15× the HBM floor of reading the
+# (B, h, T, T) weights once (measured 3.83 ms vs ~0.26 ms at B=16, h=4,
+# T=1280 — PERF.md component profile).  This kernel streams weight tiles
+# through VMEM exactly once with the values resident, and runs twice per
+# encoder layer (both SelfAttentions), making it the largest single lever
+# on the fm_decoder step.
+# ---------------------------------------------------------------------------
+
+
+def _attn_apply_kernel(w_ref, v_ref, out_ref):
+    # w_ref: (1, R, T); v_ref: (1, T, vd); out_ref: (1, R, vd)
+    out_ref[0] = jnp.dot(
+        w_ref[0], v_ref[0], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def attention_apply(w: jax.Array, v: jax.Array,
+                    interpret: bool = None) -> jax.Array:
+    """w: (B, h, T, T) attention weights; v: (B, h, T, vd) values.
+    Returns (B, h, T, vd) = w @ v per (batch, head)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _attention_apply(w, v, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attention_apply(w, v, interpret=False):
+    B, h, T, _ = w.shape
+    vd = v.shape[-1]
+    R = _row_tile(T)
+    n_tiles = T // R
+
+    wf = w.reshape(B * h, T, T)
+    vf = v.reshape(B * h, T, vd)
+    out = pl.pallas_call(
+        _attn_apply_kernel,
+        grid=(B * h, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, R, T), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, vd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, vd), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * h, T, vd), v.dtype),
+        interpret=interpret,
+    )(wf, vf)
+    return out.reshape(B, h, T, vd)
+
+
+# ---------------------------------------------------------------------------
 # Trainable path: pallas forward + custom VJP (VERDICT round-1 Missing #8).
 #
 # Backward math (out = softmax(mask_fill(qk + skew(p @ pe^T)))):
