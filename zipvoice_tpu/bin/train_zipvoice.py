@@ -53,6 +53,14 @@ def get_parser():
     p.add_argument("--num-workers", type=int, default=2,
                    help="concurrent batch-assembly workers (the reference "
                         "uses 8 DataLoader workers, datamodule.py:143-151)")
+    p.add_argument("--per-host-data", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="each process materializes only its own batch rows "
+                        "(feature IO sharded ~1/N per host; batch "
+                        "composition stays global so padded shapes agree). "
+                        "auto = on when multi-process. Replaces the "
+                        "reference's per-rank DataLoader shards "
+                        "(datamodule.py:177-195)")
     p.add_argument("--min-len", type=float, default=1.0)
     p.add_argument("--max-len", type=float, default=30.0)
     # optimization (reference train_zipvoice.py defaults)
@@ -508,6 +516,25 @@ def main():
         )
     eval_step = make_eval_step(model)
 
+    per_host = args.per_host_data == "on" or (
+        args.per_host_data == "auto" and jax.process_count() > 1
+    )
+    if per_host:
+        from zipvoice_tpu.parallel.mesh import local_batch_rows
+
+        _rows_cache = {}
+
+        def _rows_fn(B_pad):
+            if B_pad not in _rows_cache:
+                _rows_cache[B_pad] = local_batch_rows(mesh, B_pad)
+            return _rows_cache[B_pad]
+
+        dataset.local_rows_fn = _rows_fn
+        if stereo:
+            dataset_mixed.local_rows_fn = _rows_fn
+        logging.info("per-host data loading: each process materializes "
+                     "only its own batch rows")
+
     state = init_train_state(params, tx)
     model_avg = init_model_avg(params)
     start_epoch = args.start_epoch
@@ -585,11 +612,17 @@ def main():
                 )
             )
         for batch, use_mixed in batch_iter:
-            sharded = shard_batch(
-                {k: v for k, v in batch.items()
-                 if k in ("tokens", "tokens_lens", "features", "features_lens")},
-                mesh,
-            )
+            sel = {k: v for k, v in batch.items()
+                   if k in ("tokens", "tokens_lens", "features",
+                            "features_lens")}
+            if "global_batch_size" in batch:
+                from zipvoice_tpu.parallel.mesh import shard_batch_per_host
+
+                sharded = shard_batch_per_host(
+                    sel, mesh, batch["global_batch_size"]
+                )
+            else:
+                sharded = shard_batch(sel, mesh)
             step_fn = train_step_mixed if use_mixed else train_step
             try:
                 state, metrics = step_fn(state, sharded, step_rng)
@@ -715,7 +748,12 @@ def main():
                     and step % args.valid_interval == 0):
                 v_loss, v_frames = 0.0, 0
                 for i, vb in enumerate(
-                    prefetch_batches(dev_sampler, dataset)
+                    # dev eval runs whole batches on the primary only —
+                    # force-full materialization even in per-host mode
+                    prefetch_batches(
+                        dev_sampler,
+                        lambda cuts: dataset(cuts, local_rows=False),
+                    )
                 ):
                     vl = float(
                         eval_step(

@@ -39,10 +39,14 @@ class SpeechSynthesisDataset:
         num_channels: int = 1,
         return_text: bool = False,
         pad_to_buckets: bool = True,
+        local_rows_fn=None,
     ):
         self.tokenizer = tokenizer
         self.on_the_fly_feats = on_the_fly_feats
         self.feat_scale = feat_scale
+        # local_rows_fn(padded_batch_size) -> global row indices this
+        # process materializes (per-host data loading); None = full batch
+        self.local_rows_fn = local_rows_fn
         self.sampling_rate = sampling_rate
         self.extractor = VocosFbank(num_channels=num_channels)
         self.return_text = return_text
@@ -59,7 +63,39 @@ class SpeechSynthesisDataset:
             return self.tokenizer.tokens_to_token_ids([cut.tokens])[0]
         return self.tokenizer.texts_to_token_ids([cut.text])[0]
 
-    def __call__(self, cuts: Sequence[Cut]) -> Dict[str, np.ndarray]:
+    def _num_frames_of(self, cut: Cut) -> int:
+        """Frame count from metadata alone (no feature IO) — used by the
+        per-host materialization path so every process derives identical
+        global batch shapes without loading other processes' rows."""
+        if cut.num_frames is not None and not self.on_the_fly_feats:
+            return int(cut.num_frames)
+        from zipvoice_tpu.frontend.feature import compute_num_frames
+
+        dur = (cut.end - cut.start) if cut.end is not None else cut.duration
+        n_samples = int(round(dur * self.sampling_rate))
+        return compute_num_frames(n_samples, self.extractor.config.hop_length)
+
+    def __call__(self, cuts: Sequence[Cut], local_rows=None
+                 ) -> Dict[str, np.ndarray]:
+        """cuts -> padded batch arrays.
+
+        ``local_rows``: None materializes the full batch.  An index array
+        materializes ONLY those global rows (ascending) — the per-host data
+        path (reference shards the sampler per DDP rank,
+        datamodule.py:177-195; here the batch *composition* stays global so
+        all hosts agree on padded shapes, and the expensive feature IO is
+        sharded).  The returned arrays then have leading dim len(local_rows)
+        and carry ``global_batch_size`` for
+        jax.make_array_from_process_local_data.
+        """
+        if local_rows is None and self.local_rows_fn is not None:
+            B_pad = (
+                bucket_length(len(cuts), BATCH_BUCKETS)
+                if self.pad_to_buckets else len(cuts)
+            )
+            local_rows = self.local_rows_fn(B_pad)
+        if local_rows is not None and local_rows is not False:
+            return self._call_local(cuts, np.asarray(local_rows, np.int64))
         feats = [self._features_of(c) for c in cuts]
         token_ids = [self._tokens_of(c) for c in cuts]
 
@@ -102,6 +138,69 @@ class SpeechSynthesisDataset:
             batch["text"] = [c.text for c in cuts]
             batch["ids"] = [c.id for c in cuts]
         return batch
+
+    def _call_local(self, cuts: Sequence[Cut],
+                    rows: np.ndarray) -> Dict[str, np.ndarray]:
+        """Materialize only ``rows`` of the (conceptually global) batch.
+
+        Shape decisions (B, T, S) use metadata for EVERY row — identical on
+        all processes — while feature IO runs only for local rows.  Padded
+        rows replicate global row 0 (same contract as the full path), so
+        per-host and replicated training are bit-identical.
+        """
+        B_real = len(cuts)
+        frame_counts = [self._num_frames_of(c) for c in cuts]
+        token_ids = [self._tokens_of(c) for c in cuts]
+        T_real = max(frame_counts)
+        S_real = max(len(t) for t in token_ids) + 1
+        if self.pad_to_buckets:
+            B = bucket_length(B_real, BATCH_BUCKETS)
+            T = bucket_length(T_real, FRAME_BUCKETS)
+            S = bucket_length(S_real, TOKEN_BUCKETS)
+        else:
+            B, T, S = B_real, T_real, S_real
+        assert rows.size == 0 or int(rows.max()) < B, (rows, B)
+
+        cache: Dict[int, np.ndarray] = {}
+
+        def feats_of(r: int) -> np.ndarray:
+            if r not in cache:
+                f = self._features_of(cuts[r])
+                n = frame_counts[r]
+                if f.shape[0] != n:
+                    # duration-estimated count can be off by a frame for
+                    # on-the-fly cuts; the metadata count is the global
+                    # contract, so conform the features to it
+                    f = f[:n] if f.shape[0] > n else np.pad(
+                        f, ((0, n - f.shape[0]), (0, 0))
+                    )
+                cache[r] = f
+            return cache[r]
+
+        assert len(rows), "process owns no batch rows"
+        F = feats_of(int(rows[0]) if rows[0] < B_real else 0).shape[1]
+        pad_id = self.tokenizer.pad_id if self.tokenizer else 0
+        n_local = len(rows)
+        features = np.zeros((n_local, T, F), np.float32)
+        features_lens = np.zeros((n_local,), np.int32)
+        tokens = np.full((n_local, S), pad_id, np.int32)
+        tokens_lens = np.zeros((n_local,), np.int32)
+        for j, r in enumerate(rows):
+            src = int(r) if r < B_real else 0  # padded rows mirror row 0
+            f = feats_of(src)
+            features[j, : f.shape[0]] = f * self.feat_scale
+            features_lens[j] = f.shape[0]
+            tok = token_ids[src]
+            tokens[j, : len(tok)] = tok
+            tokens_lens[j] = len(tok)
+        return {
+            "features": features,
+            "features_lens": features_lens,
+            "tokens": tokens,
+            "tokens_lens": tokens_lens,
+            "valid": rows < B_real,
+            "global_batch_size": B,
+        }
 
 
 def prefetch_batches(

@@ -48,3 +48,33 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def replicate_tree(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_batch_rows(mesh: Mesh, global_batch: int) -> np.ndarray:
+    """Global batch-row indices whose shards live on THIS process's devices
+    under P('data') sharding — the rows a per-host data loader must
+    materialize (ascending; every other row belongs to another host)."""
+    sh = batch_sharding(mesh)
+    rows = set()
+    for idx in sh.addressable_devices_indices_map((global_batch,)).values():
+        s = idx[0]
+        rows.update(range(s.start or 0,
+                          global_batch if s.stop is None else s.stop))
+    return np.array(sorted(rows), np.int64)
+
+
+def shard_batch_per_host(local_batch: dict, mesh: Mesh,
+                         global_batch: int) -> dict:
+    """Assemble a global mesh-sharded batch from per-process local rows
+    (the rows from ``local_batch_rows``, ascending).  The host-side inverse
+    of ``shard_batch``: no process ever holds the full batch.  Replaces the
+    reference's per-rank DataLoader shards (datamodule.py:177-195)."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sh, x, (global_batch,) + x.shape[1:]
+        )
+
+    return jax.tree.map(put, local_batch)
