@@ -66,6 +66,21 @@ class InferencePipeline:
         self.rng = np.random.RandomState(seed)
         self._sample_cache = {}
         self._vocode_cache = {}
+        self._engines = None
+        self._engine_manifest = None
+
+    def attach_engines(self, engine_dir: str):
+        """Serve shape buckets from AOT-exported StableHLO programs
+        (serving/aot.py) instead of tracing the model — the reference's
+        prebuilt-TensorRT-engine serving mode (runtime/nvidia_triton).
+        Buckets not covered by the engine dir fall back to jit."""
+        from zipvoice_tpu.serving.aot import load_engine_dir
+
+        self._engine_manifest, self._engines = load_engine_dir(engine_dir)
+        logging.info(
+            f"attached {len(self._engines)} exported engine(s) from "
+            f"{engine_dir}: {sorted(self._engines)}"
+        )
 
     # --- compiled-program factories ---------------------------------------
 
@@ -86,6 +101,11 @@ class InferencePipeline:
 
             self._sample_cache[key] = fn
         return self._sample_cache[key]
+
+    def _strip_fn(self):
+        if "s" not in self._vocode_cache:
+            self._vocode_cache["s"] = jax.jit(strip_prompt)
+        return self._vocode_cache["s"]
 
     def _vocode_fn(self):
         if "v" not in self._vocode_cache:
@@ -263,12 +283,29 @@ class InferencePipeline:
             np.float32
         )
 
-        fn = self._sample_fn(num_step, guidance_scale, t_shift)
-        x1_wo, wo_lens = fn(
-            self.params, jnp.asarray(tok), jnp.asarray(tok_lens),
-            jnp.asarray(ptl), jnp.asarray(pf), jnp.asarray(pfl),
-            jnp.asarray(fl), jnp.asarray(noise),
-        )
+        eng = None
+        if self._engines is not None:
+            m = self._engine_manifest
+            if (m["num_step"] == num_step
+                    and m["guidance_scale"] == guidance_scale
+                    and m["t_shift"] == t_shift):
+                eng = self._engines.get((B, S, T))
+        if eng is not None:
+            x1, padding_mask = eng(
+                self.params, jnp.asarray(tok), jnp.asarray(tok_lens),
+                jnp.asarray(ptl), jnp.asarray(pf), jnp.asarray(pfl),
+                jnp.asarray(fl), jnp.asarray(noise),
+            )
+            x1_wo, wo_lens = self._strip_fn()(
+                x1, padding_mask, jnp.asarray(pfl)
+            )
+        else:
+            fn = self._sample_fn(num_step, guidance_scale, t_shift)
+            x1_wo, wo_lens = fn(
+                self.params, jnp.asarray(tok), jnp.asarray(tok_lens),
+                jnp.asarray(ptl), jnp.asarray(pf), jnp.asarray(pfl),
+                jnp.asarray(fl), jnp.asarray(noise),
+            )
         feats = np.asarray(x1_wo)[:B_real] / self.feat_scale
         lens = np.asarray(wo_lens)[:B_real]
         return feats, lens

@@ -87,3 +87,21 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exported = jax.export.deserialize(f.read())
     return exported.call
+
+
+def load_engine_dir(path: str):
+    """Load an engine directory produced by ``export_sample_program``.
+
+    Returns (manifest, {(B, S, T): callable}) — the serving path
+    (InferencePipeline.attach_engines) dispatches matching shape buckets to
+    these programs instead of tracing the model, the analog of the
+    reference's Triton server loading prebuilt TensorRT engines
+    (runtime/nvidia_triton/run.sh stages 4-6).
+    """
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    engines = {
+        (b["B"], b["S"], b["T"]): load_exported(os.path.join(path, b["file"]))
+        for b in manifest["buckets"]
+    }
+    return manifest, engines

@@ -301,6 +301,12 @@ def main():
     p.add_argument("--warmup", action="store_true",
                    help="precompile common (batch, token, frame) buckets "
                         "before accepting traffic (AOT engine warm)")
+    p.add_argument("--engine-dir", type=str, default=None,
+                   help="serve from AOT-exported StableHLO engines "
+                        "(bin/export_model.py): matching shape buckets skip "
+                        "model tracing entirely; others fall back to jit. "
+                        "Analog of the reference's prebuilt TensorRT "
+                        "engines (runtime/nvidia_triton/run.sh stages 4-6)")
     p.add_argument("--platform", type=str, default=None, choices=[None, "cpu"])
     p.add_argument("--bf16", action="store_true", default=True)
     args = p.parse_args()
@@ -326,6 +332,8 @@ def main():
     )
     vocoder, vp = load_vocos(args.vocoder_path, dtype=dtype)
     pipeline = InferencePipeline(model, params, vocoder, vp, tokenizer)
+    if args.engine_dir:
+        pipeline.attach_engines(args.engine_dir)
     engine = TTSEngine(
         pipeline, max_batch=args.max_batch, num_step=args.num_step,
         guidance_scale=args.guidance_scale,
