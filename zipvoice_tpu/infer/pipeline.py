@@ -54,8 +54,24 @@ class InferencePipeline:
         sampling_rate: int = 24000,
         feat_scale: float = 0.1,
         seed: int = 0,
+        quantize: Optional[str] = None,
     ):
         self.model = model
+        self.quantize = quantize
+        if quantize is not None:
+            # weight-only int8 serving (reference's dynamic-int8 ONNX
+            # analog, onnx_export.py:403-417): int8 params in HBM,
+            # dequantized inside the jitted programs
+            assert quantize == "int8", quantize
+            from zipvoice_tpu.serving.quantize import quantize_params
+
+            params = jax.device_put(
+                quantize_params(jax.device_get(params))
+            )
+            if vocoder_params is not None:
+                vocoder_params = jax.device_put(
+                    quantize_params(jax.device_get(vocoder_params))
+                )
         self.params = params
         self.vocoder = vocoder
         self.vocoder_params = vocoder_params
@@ -90,6 +106,12 @@ class InferencePipeline:
 
             @jax.jit
             def fn(params, tok, tok_lens, ptl, pf, pfl, fl, noise):
+                if self.quantize:
+                    from zipvoice_tpu.serving.quantize import (
+                        dequantize_params,
+                    )
+
+                    params = dequantize_params(params, self.model.dtype)
                 x1, padding_mask = self.model.apply(
                     params, tokens=tok, tokens_lens=tok_lens,
                     prompt_tokens_lens=ptl, prompt_features=pf,
@@ -112,6 +134,12 @@ class InferencePipeline:
 
             @jax.jit
             def fn(vp, mel):
+                if self.quantize:
+                    from zipvoice_tpu.serving.quantize import (
+                        dequantize_params,
+                    )
+
+                    vp = dequantize_params(vp, self.vocoder.dtype)
                 return jnp.clip(self.vocoder.apply(vp, mel), -1.0, 1.0)
 
             self._vocode_cache["v"] = fn
@@ -284,7 +312,7 @@ class InferencePipeline:
         )
 
         eng = None
-        if self._engines is not None:
+        if self._engines is not None and self.quantize is None:
             m = self._engine_manifest
             if (m["num_step"] == num_step
                     and m["guidance_scale"] == guidance_scale

@@ -301,6 +301,13 @@ def main():
     p.add_argument("--warmup", action="store_true",
                    help="precompile common (batch, token, frame) buckets "
                         "before accepting traffic (AOT engine warm)")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=(None, "int8"),
+                   help="weight-only int8 serving: params stored int8 in "
+                        "HBM, dequantized inside the jitted programs "
+                        "(reference's dynamic-int8 ONNX analog, "
+                        "onnx_export.py:403-417). Disables --engine-dir "
+                        "dispatch (engines are traced fp)")
     p.add_argument("--engine-dir", type=str, default=None,
                    help="serve from AOT-exported StableHLO engines "
                         "(bin/export_model.py): matching shape buckets skip "
@@ -331,7 +338,8 @@ def main():
         use_pallas_attention=args.use_pallas_attention,
     )
     vocoder, vp = load_vocos(args.vocoder_path, dtype=dtype)
-    pipeline = InferencePipeline(model, params, vocoder, vp, tokenizer)
+    pipeline = InferencePipeline(model, params, vocoder, vp, tokenizer,
+                                 quantize=args.quantize)
     if args.engine_dir:
         pipeline.attach_engines(args.engine_dir)
     engine = TTSEngine(
