@@ -123,3 +123,58 @@ def test_infer_cli(tmp_path):
     assert "rtf" in (r.stdout + r.stderr)
     wav = load_wav(out_path, sr)
     assert wav.shape[-1] > 0 and np.isfinite(wav).all()
+
+
+def test_generate_stream_matches_offline_crossfade():
+    """Concatenating generate_stream's segments equals cross_fade_concat
+    over the per-chunk wavs (the offline merge)."""
+    from zipvoice_tpu.frontend.audio import cross_fade_concat
+    from zipvoice_tpu.infer.pipeline import InferencePipeline
+
+    class Tok:
+        pad_id = 0
+
+        def texts_to_tokens(self, texts):
+            return [list(t) for t in texts]
+
+        def tokens_to_token_ids(self, tl):
+            return [[ord(c[0]) % 20 + 1 for c in t] for t in tl]
+
+    pipe = InferencePipeline.__new__(InferencePipeline)
+    pipe.sampling_rate = 24000
+    pipe.tokenizer = Tok()
+
+    rng = np.random.RandomState(0)
+    wavs = {}
+
+    def fake_sample(batch_tokens, *a, **k):
+        key = tuple(batch_tokens[0])
+        if key not in wavs:
+            n = 24000 + 100 * len(wavs)
+            wavs[key] = rng.randn(n).astype(np.float32) * 0.1
+        feats = np.zeros((1, 4, 2), np.float32)
+        feats[0, 0, 0] = float(len(wavs))
+        return feats, np.array([4])
+
+    order = []
+
+    def fake_vocode(chunks):
+        # invoked once per stream chunk with the fake feats; map back by
+        # arrival order
+        order.append(len(order))
+        return [list(wavs.values())[order[-1]]]
+
+    pipe._sample_batch = fake_sample
+    pipe._vocode_chunks = fake_vocode
+
+    text = "first sentence, with clauses. second one here. third bit!"
+    prompt_tokens = [1, 2, 3, 4, 5]
+    # long prompt -> small max_tokens -> the text splits into many chunks
+    prompt_features = np.zeros((2000, 2), np.float32)
+    segs = list(pipe.generate_stream(prompt_tokens, prompt_features, text,
+                                     num_step=1))
+    assert len(wavs) >= 2, "text did not chunk"
+    streamed = np.concatenate(segs, axis=-1)
+    offline = cross_fade_concat([w[None] for w in wavs.values()],
+                                fade_duration=0.1, sample_rate=24000)
+    np.testing.assert_allclose(streamed, offline, atol=1e-6)

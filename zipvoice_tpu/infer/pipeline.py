@@ -233,6 +233,75 @@ class InferencePipeline:
         }
         return final_wav, metrics
 
+    def generate_stream(
+        self,
+        prompt_tokens: List[int],
+        prompt_features: np.ndarray,
+        text: str,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        prompt_rms: float = 0.1,
+        target_rms: float = 0.1,
+        fade_duration: float = 0.1,
+    ):
+        """Stream wav segments as text chunks are synthesized.
+
+        Latency-oriented counterpart of ``generate_sentence`` (the
+        reference's Triton decoupled/streaming mode): chunks run one at a
+        time (B=1) so the first audio arrives after a single sample+vocode
+        round, and the same linear cross-fade as ``cross_fade_concat`` is
+        applied incrementally — concatenating every yielded segment equals
+        the offline result.
+
+        ``prompt_tokens``/``prompt_features`` are a SpeakerCache-style
+        prepared prompt (features already feat-scaled).
+        """
+        sr = self.sampling_rate
+        prompt_duration = prompt_features.shape[0] * 256 / sr
+        text = add_punctuation(text)
+        tokens_str = self.tokenizer.texts_to_tokens([text])[0]
+        token_duration = prompt_duration / (len(prompt_tokens) * speed)
+        max_tokens = max(4, int((25 - prompt_duration) / token_duration))
+        chunked_tokens_str = chunk_tokens_punctuation(
+            tokens_str, max_tokens=max_tokens
+        )
+        chunked_tokens = self.tokenizer.tokens_to_token_ids(
+            chunked_tokens_str
+        )
+
+        fade = int(fade_duration * sr)
+        carry: Optional[np.ndarray] = None
+        gain = prompt_rms / target_rms if prompt_rms < target_rms else 1.0
+        for tok in chunked_tokens:
+            feats, lens = self._sample_batch(
+                [tok], prompt_tokens, prompt_features,
+                num_step=num_step, guidance_scale=guidance_scale,
+                speed=speed, t_shift=t_shift,
+            )
+            wav = self._vocode_chunks([feats[0, : lens[0]]])[0][None] * gain
+            if carry is None:
+                merged = wav
+            else:
+                k = min(fade, carry.shape[-1], wav.shape[-1])
+                if k > 0:
+                    ramp = np.linspace(1.0, 0.0, k, dtype=wav.dtype)[None]
+                    merged = np.concatenate(
+                        [carry[..., :-k],
+                         carry[..., -k:] * ramp + wav[..., :k] * (1 - ramp),
+                         wav[..., k:]], axis=-1,
+                    )
+                else:
+                    merged = np.concatenate([carry, wav], axis=-1)
+            if merged.shape[-1] > fade:
+                yield merged[..., :-fade]
+                carry = merged[..., -fade:]
+            else:
+                carry = merged
+        if carry is not None and carry.shape[-1]:
+            yield carry
+
     def generate_raw(
         self,
         prompt_text: str,
