@@ -178,3 +178,24 @@ def test_generate_stream_matches_offline_crossfade():
     offline = cross_fade_concat([w[None] for w in wavs.values()],
                                 fade_duration=0.1, sample_rate=24000)
     np.testing.assert_allclose(streamed, offline, atol=1e-6)
+
+
+def test_frame_bucket_hygiene():
+    """Every inference/dataset frame bucket is sublane-aligned (T % 8 == 0,
+    the pallas kernel's _row_tile requirement) and the kernel-eligible
+    levels (T >= MIN_SEQ_LEN) take the efficient 128-row tile; the compile
+    surface (distinct kernel shapes) stays bounded."""
+    from zipvoice_tpu.data import dataset as ds
+    from zipvoice_tpu.infer import pipeline as pl
+    from zipvoice_tpu.ops.pallas_attention import MIN_SEQ_LEN, _row_tile
+
+    for T in pl.FRAME_BUCKETS + ds.FRAME_BUCKETS:
+        assert T % 8 == 0, T
+        assert _row_tile(T) >= 8
+    kernel_levels = [T for T in pl.FRAME_BUCKETS if T >= MIN_SEQ_LEN]
+    assert kernel_levels, "no kernel-eligible bucket"
+    for T in kernel_levels:
+        assert _row_tile(T) == 128, (T, _row_tile(T))
+    # each kernel shape costs a long Mosaic compile over the relay — keep
+    # the ladder small
+    assert len(kernel_levels) <= 6, kernel_levels
