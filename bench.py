@@ -51,7 +51,8 @@ def host_init_params(model, rng, **init_kwargs):
 
 
 def main(use_pallas: bool = False, num_step: int = 16,
-         gs: float = 1.0, batch: int = 8, model_name: str = "base"):
+         gs: float = 1.0, batch: int = 8, model_name: str = "base",
+         t_frames: int = 1280):
     from zipvoice_tpu.frontend.batch import pad_tokens
     from zipvoice_tpu.models.zipvoice import ZipVoice, strip_prompt
     from zipvoice_tpu.vocoder.vocos import Vocos
@@ -70,9 +71,10 @@ def main(use_pallas: bool = False, num_step: int = 16,
 
     B = batch
     frames_per_sec = 24000 / 256
-    prompt_s, gen_s = 3.0, 10.0
+    prompt_s = 3.0
     Tp = int(prompt_s * frames_per_sec)
-    T = 1280
+    T = t_frames  # 1280 = the ~10 s headline shape; 2560 = long-text bucket
+    gen_s = (T - Tp) / frames_per_sec
 
     rng = np.random.RandomState(0)
     prompt_tokens = list(rng.randint(3, 300, size=30))
@@ -84,8 +86,7 @@ def main(use_pallas: bool = False, num_step: int = 16,
     pf = np.zeros((B, T, F), np.float32)
     pf[:, :Tp] = rng.randn(B, Tp, F) * 0.5
     pfl = np.full((B,), Tp, np.int32)
-    total_frames = Tp + int(gen_s * frames_per_sec)
-    fl = np.full((B,), total_frames, np.int32)
+    fl = np.full((B,), T, np.int32)
 
     init_kwargs = dict(
         tokens=jnp.asarray(tok), tokens_lens=jnp.asarray(tok_lens),
@@ -160,8 +161,9 @@ def main(use_pallas: bool = False, num_step: int = 16,
                 "metric": (
                     "rtf_zipvoice_base_16step_bf16_1chip_batch8"
                     if num_step == 16 and B == 8 and model_name == "base"
+                    and T == 1280
                     else f"rtf_zipvoice_{model_name}_{num_step}step_bf16"
-                         f"_1chip_batch{B}"
+                         f"_1chip_batch{B}_t{T}"
                 ),
                 "value": round(rtf, 5),
                 "unit": "rtf (wall_s per generated audio_s, incl. vocoder)",
@@ -173,7 +175,8 @@ def main(use_pallas: bool = False, num_step: int = 16,
 
 def _run_pallas_child(timeout_s: float, num_step: int = 16,
                       gs: float = 1.0, batch: int = 8,
-                      model_name: str = "base") -> bool:
+                      model_name: str = "base",
+                      t_frames: int = 1280) -> bool:
     """Run the pallas-enabled measurement in a subprocess; relay its output.
     Returns True if it produced the JSON result line.  Isolation matters:
     a cold Mosaic compile can exceed any sane bench budget (~20 min/kernel
@@ -186,7 +189,8 @@ def _run_pallas_child(timeout_s: float, num_step: int = 16,
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pallas", "on",
              "--steps", str(num_step), "--guidance", str(gs),
-             "--batch", str(batch), "--model", model_name],
+             "--batch", str(batch), "--model", model_name,
+             "--t", str(t_frames)],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -219,18 +223,20 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=8,
                     help="batch size (1 = serving latency shape)")
     ap.add_argument("--model", choices=["base", "dialog"], default="base")
+    ap.add_argument("--t", type=int, default=1280,
+                    help="padded frame bucket (2560 = long-text shape)")
     args = ap.parse_args()
     gs = args.guidance if args.guidance is not None else (
         1.0 if args.steps == 16 else 3.0
     )
     if args.pallas == "on":
         main(use_pallas=True, num_step=args.steps, gs=gs,
-             batch=args.batch, model_name=args.model)
+             batch=args.batch, model_name=args.model, t_frames=args.t)
     elif args.pallas == "off":
         main(use_pallas=False, num_step=args.steps, gs=gs,
-             batch=args.batch, model_name=args.model)
+             batch=args.batch, model_name=args.model, t_frames=args.t)
     else:
         if not _run_pallas_child(args.pallas_timeout, args.steps, gs,
-                                 args.batch, args.model):
+                                 args.batch, args.model, args.t):
             main(use_pallas=False, num_step=args.steps, gs=gs,
-                 batch=args.batch, model_name=args.model)
+                 batch=args.batch, model_name=args.model, t_frames=args.t)

@@ -208,6 +208,55 @@ def main():
         )
         timed_scan("self_attention", fn0, args.n, p0)
 
+    if want("selfatt_pallas"):
+        mod = zf.SelfAttention(embed_dim=D, num_heads=H, value_head_dim=12,
+                               dtype=DT, use_pallas=True)
+        p0, fn0 = module_fn(
+            mod, {"x": (B, T, D), "attn_weights": (B, H, T, T)}
+        )
+        timed_scan("self_attention (pallas)", fn0, args.n, p0)
+
+    if want("apply_xla") or want("apply_pallas"):
+        # raw weights@values application, isolating layout/matmul cost
+        from zipvoice_tpu.ops.pallas_attention import attention_apply
+
+        def mk(apply):
+            def fn(p, key):
+                k1, k2 = jax.random.split(key)
+                w = jax.random.normal(k1, (B, H, T, T), DT)
+                v = jax.random.normal(k2, (B, H, T, 12), DT)
+                return jnp.sum(jnp.abs(apply(w, v)).astype(jnp.float32))
+            return fn
+
+        if want("apply_xla"):
+            timed_scan(
+                "apply einsum bhts,bhsd",
+                mk(lambda w, v: jnp.einsum("bhts,bhsd->bhtd", w, v)), args.n,
+            )
+        if want("apply_pallas"):
+            timed_scan("apply pallas", mk(attention_apply), args.n)
+
+    if want("attnw_nonlin"):
+        from zipvoice_tpu.ops.pallas_attention import (
+            rel_pos_attention_weights_nonlin,
+        )
+
+        hid = 3 * D // 4
+
+        def wn_fn(p, key):
+            ks = jax.random.split(key, 5)
+            q = jax.random.normal(ks[0], (B, H, T, QD), DT)
+            k = jax.random.normal(ks[1], (B, H, T, QD), DT)
+            pp = jax.random.normal(ks[2], (B, H, T, PD), DT)
+            pe = jax.random.normal(ks[3], (H, 2 * T - 1, PD), DT)
+            nv = jax.random.normal(ks[4], (B, T, hid), DT)
+            mask = jnp.zeros((B, T), bool)
+            w, na = rel_pos_attention_weights_nonlin(q, k, pp, pe, mask, nv)
+            return (jnp.sum(jnp.abs(w).astype(jnp.float32))
+                    + jnp.sum(jnp.abs(na).astype(jnp.float32)))
+
+        timed_scan("attnw+nonlin fused", wn_fn, args.n)
+
     if want("nonlin"):
         mod = zf.NonlinAttention(channels=D, hidden_channels=3 * D // 4,
                                  dtype=DT)

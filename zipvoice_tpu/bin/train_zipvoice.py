@@ -124,6 +124,11 @@ def get_parser():
     p.add_argument("--platform", type=str, default=None, choices=[None, "cpu"])
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--use-pallas-attention", action="store_true",
+                   help="train with the fused pallas attention-weights "
+                        "kernel (custom VJP) at U-Net levels with "
+                        "T >= ops.pallas_attention.MIN_SEQ_LEN; long first "
+                        "Mosaic compile, persistently cached")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--inf-check", action="store_true",
                    help="assert finite loss/grads every step")
@@ -186,7 +191,9 @@ def build_model(args, tokenizer, dtype):
         extra = dict(spk_a_id=tokenizer.spk_a_id, spk_b_id=tokenizer.spk_b_id)
     model = cls(
         **cfg, vocab_size=tokenizer.vocab_size, pad_id=tokenizer.pad_id,
-        dtype=dtype, **extra,
+        dtype=dtype,
+        use_pallas_attention=getattr(args, "use_pallas_attention", False),
+        **extra,
     )
     return model, cfg
 

@@ -143,6 +143,20 @@ def main():
     )
     tx = scaled_adam(lr=schedule, clipping_scale=args.clipping_scale)
     mesh = make_mesh(n_data=args.num_data_parallel)
+    if args.per_host_data == "on" or (
+        args.per_host_data == "auto" and jax.process_count() > 1
+    ):
+        from zipvoice_tpu.parallel.mesh import local_batch_rows
+
+        _rows_cache = {}
+
+        def _rows_fn(B_pad):
+            if B_pad not in _rows_cache:
+                _rows_cache[B_pad] = local_batch_rows(mesh, B_pad)
+            return _rows_cache[B_pad]
+
+        dataset.local_rows_fn = _rows_fn
+        logging.info("per-host data loading enabled")
     step_fn = make_distill_train_step(
         student_model, teacher_model, tx, stage=args.distill_stage, mesh=mesh,
         schedules=args.schedules, max_duration=args.max_duration,
@@ -164,12 +178,17 @@ def main():
     for epoch in range(args.start_epoch, last_epoch + 1):
         sampler.set_epoch(epoch)
         for batch in prefetch_batches(sampler, dataset):
-            sharded = shard_batch(
-                {k: v for k, v in batch.items()
-                 if k in ("tokens", "tokens_lens", "features",
-                          "features_lens")},
-                mesh,
-            )
+            sel = {k: v for k, v in batch.items()
+                   if k in ("tokens", "tokens_lens", "features",
+                            "features_lens")}
+            if "global_batch_size" in batch:
+                from zipvoice_tpu.parallel.mesh import shard_batch_per_host
+
+                sharded = shard_batch_per_host(
+                    sel, mesh, batch["global_batch_size"]
+                )
+            else:
+                sharded = shard_batch(sel, mesh)
             state, metrics = step_fn(state, teacher_params, sharded, rng)
             if args.distill_stage == "second":
                 teacher_params = ema_update(

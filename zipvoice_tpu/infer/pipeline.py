@@ -380,6 +380,13 @@ class InferencePipeline:
             np.float32
         )
 
+        if not hasattr(self, "_seen_buckets"):
+            self._seen_buckets = set()
+        if (B, S, T) not in self._seen_buckets:
+            self._seen_buckets.add((B, S, T))
+            # one line per new shape: feeds engine-export bucket selection
+            # (bin/export_model --buckets) and compile-count audits
+            logging.info(f"sample bucket B={B} S={S} T={T}")
         eng = None
         if self._engines is not None and self.quantize is None:
             m = self._engine_manifest
@@ -387,6 +394,11 @@ class InferencePipeline:
                     and m["guidance_scale"] == guidance_scale
                     and m["t_shift"] == t_shift):
                 eng = self._engines.get((B, S, T))
+                if eng is None:
+                    logging.info(
+                        f"engine miss: bucket B={B} S={S} T={T} not in "
+                        f"{sorted(self._engines)}"
+                    )
         if eng is not None:
             x1, padding_mask = eng(
                 self.params, jnp.asarray(tok), jnp.asarray(tok_lens),

@@ -421,8 +421,8 @@ class SelfAttention(nn.Module):
         v = v.reshape(B, T, h, vd)
         from zipvoice_tpu.ops import pallas_attention as _pa
 
-        if (self.use_pallas and not train and T % 8 == 0
-                and T >= _pa.MIN_SEQ_LEN):
+        if (self.use_pallas and _pa.APPLY_KERNEL and not train
+                and T % 8 == 0 and T >= _pa.MIN_SEQ_LEN):
             # weights @ values with a tiny N dim (vd=12) pays ~15× the HBM
             # floor under XLA's layout choices; stream it through VMEM
             out = _pa.attention_apply(attn_weights, v.transpose(0, 2, 1, 3))
@@ -680,6 +680,7 @@ class ZipformerEncoderLayer(nn.Module):
         use_fused = (
             not train
             and self.use_pallas_attention
+            and _pa.FUSE_NONLIN
             and src.shape[1] % 8 == 0
             and src.shape[1] >= _pa.MIN_SEQ_LEN
         )

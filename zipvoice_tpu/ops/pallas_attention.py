@@ -28,6 +28,7 @@ the jnp path in tests/test_pallas_attention.py (interpret mode on CPU).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,14 +43,39 @@ from jax.experimental.pallas import tpu as pltpu
 # relay — so the default only kernels the top level.
 MIN_SEQ_LEN = 1024
 
+# Independent toggles for the two application-side kernels (A/B-able via
+# env without code edits; the weights kernel itself is governed by the
+# model's use_pallas_attention flag + MIN_SEQ_LEN alone).
+FUSE_NONLIN = os.environ.get("ZIPVOICE_PALLAS_FUSE_NONLIN", "1") == "1"
+APPLY_KERNEL = os.environ.get("ZIPVOICE_PALLAS_APPLY", "1") == "1"
 
-def _row_tile(T: int) -> int:
-    """Largest sublane-friendly divisor of T (all U-Net levels qualify for
-    frame buckets that are multiples of 8)."""
-    for r in (128, 64, 32, 16, 8):
-        if T % r == 0:
+
+_TILES = (1280, 1024, 768, 640, 512, 384, 320, 256, 128, 64, 32, 16, 8)
+
+
+def _divisor_tile(T: int, max_rows: int) -> int:
+    """Largest divisor of T from the ladder that is <= max_rows."""
+    for r in _TILES:
+        if r <= max_rows and T % r == 0:
             return r
     raise ValueError(f"T={T} not a multiple of 8")
+
+
+def _row_tile(T: int) -> int:
+    """Row tile for the weights kernels.  On-chip profiling shows ~6 us of
+    fixed per-grid-step cost dominates at R=128 (640 steps for the bench
+    shape), so prefer R=256 — bounded by the f32 (R, T) score/exp
+    intermediates against the ~16 MB VMEM budget (R*T <= 320k keeps them
+    ~5.5 MB plus double-buffered blocks)."""
+    return _divisor_tile(T, max(128, min(256, 327680 // T)))
+
+
+def _apply_row_tile(T: int) -> int:
+    """Row tile for the application kernel: intermediates are tiny, so the
+    only bound is the double-buffered (R, T) bf16 weights block — allow up
+    to 4 MB per block (whole-sequence rows at T=1280: grid collapses from
+    640 to 64 steps)."""
+    return _divisor_tile(T, max(8, (4 * 1024 * 1024) // (2 * T)))
 
 
 def _attn_weights_kernel(q_ref, k_ref, p_ref, pe_ref, mask_ref, out_ref):
@@ -330,7 +356,7 @@ def attention_apply(w: jax.Array, v: jax.Array,
 def _attention_apply(w, v, interpret=False):
     B, h, T, _ = w.shape
     vd = v.shape[-1]
-    R = _row_tile(T)
+    R = _apply_row_tile(T)
     n_tiles = T // R
 
     wf = w.reshape(B * h, T, T)
