@@ -48,6 +48,9 @@ MIN_SEQ_LEN = 1024
 # model's use_pallas_attention flag + MIN_SEQ_LEN alone).
 FUSE_NONLIN = os.environ.get("ZIPVOICE_PALLAS_FUSE_NONLIN", "1") == "1"
 APPLY_KERNEL = os.environ.get("ZIPVOICE_PALLAS_APPLY", "1") == "1"
+# pallas backward for the trainable weights kernel (vs the XLA backward,
+# which materializes a (B, h, T, 3T-2) f32 unskew intermediate)
+BWD_KERNEL = os.environ.get("ZIPVOICE_PALLAS_BWD", "1") == "1"
 
 
 _TILES = (1280, 1024, 768, 640, 512, 384, 320, 256, 128, 64, 32, 16, 8)
@@ -492,6 +495,161 @@ def _unskew(ds):
     return rows[..., : 2 * T - 1]
 
 
+def _attn_weights_bwd_kernel(
+    coin_ref, g_ref, w_ref, q_ref, k_ref, p_ref, pe_ref,
+    dq_ref, dk_ref, dp_ref, dpe_ref,
+):
+    """Tiled backward: softmax VJP + failsafe penalty + windowed unskew +
+    all four input grads, without materializing the (B, h, T, 3T-2)
+    unskew intermediate in HBM.
+
+    coin_ref: (1, 1) SMEM — 1.0 when the penalty coin landed this call;
+    g/w: (1, R, T) upstream grad / saved softmax; q/p: (1, R, qd/pd);
+    k: (1, T, qd); pe_ref: (1, 1, W, pd) per-tile window (same windows as
+    the forward).  dk accumulates across row tiles (block index constant
+    in i); dpe_ref emits per-(batchhead, tile) window contributions the
+    caller folds into the global table.
+    """
+    T = k_ref.shape[1]
+    R = g_ref.shape[1]
+    W = T + R
+    i = pl.program_id(1)
+
+    g = g_ref[0].astype(jnp.float32)
+    w = w_ref[0].astype(jnp.float32)
+    ds = w * (g - jnp.sum(g * w, axis=-1, keepdims=True))  # (R, T)
+
+    # failsafe score-penalty grad (reference zipformer.py:1254-1269):
+    # recompute the raw scores tile (two small matmuls + the forward's
+    # strided roll — MXU noise next to the HBM-bound g/w reads) and gate
+    # by the coin; exactly zero when no |score| exceeds the limit
+    qk = jnp.dot(q_ref[0], k_ref[0].T, preferred_element_type=jnp.float32)
+    pos_win = jnp.dot(
+        p_ref[0], pe_ref[0, 0].T, preferred_element_type=jnp.float32
+    )
+    pos = pltpu.roll(pos_win, T + 1, 1, stride=1, stride_axis=0)[:, :T]
+    scores = qk + pos
+    ds = ds + (
+        coin_ref[0, 0]
+        * _SCORE_PENALTY
+        * jnp.sign(scores)
+        * (jnp.abs(scores) > _SCORE_LIMIT)
+    )
+
+    dq_ref[0] = jnp.dot(
+        ds, k_ref[0].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+    dk_contrib = jnp.dot(
+        ds.T, q_ref[0].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (T, qd)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = dk_contrib
+
+    @pl.when(i != 0)
+    def _():
+        dk_ref[0] += dk_contrib
+
+    # windowed unskew (adjoint of the forward roll): forward read
+    # pos[r, c] = pos_win[r, (R-1-r) + c], so drel_win is the zero-padded
+    # ds with row r right-shifted by R-1-r.  Row-reverse -> per-row
+    # right-roll by the row index (stride-1 hardware roll) -> reverse.
+    # Wraparound is safe: row r' shifts by r' <= R-1 and columns
+    # [W-r', W) are zero padding.
+    ds_pad = jnp.concatenate(
+        [ds, jnp.zeros((R, W - T), jnp.float32)], axis=1
+    )
+    rev = ds_pad[::-1, :]
+    rolled = pltpu.roll(rev, 0, 1, stride=1, stride_axis=0)
+    drel_win = rolled[::-1, :]  # (R, W)
+
+    dp_ref[0] = jnp.dot(
+        drel_win, pe_ref[0, 0].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(dp_ref.dtype)
+    dpe_ref[0, 0] = jnp.dot(
+        drel_win.T, p_ref[0].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(dpe_ref.dtype)
+
+
+def _pallas_bwd(q, k, p, pe, g, w, coin_live, interpret):
+    """Returns (dq, dk, dp, dpe) in f32 via the tiled backward kernel."""
+    B, h, T, qd = q.shape
+    pd = p.shape[-1]
+    # conservative tile: the backward holds ~2x the forward's f32
+    # intermediates (ds, ds_pad, drel_win, scores) per step
+    R = _divisor_tile(T, 128)
+    n_tiles = T // R
+    W = T + R
+
+    qf = q.reshape(B * h, T, qd)
+    kf = k.reshape(B * h, T, qd)
+    pf = p.reshape(B * h, T, pd)
+    gf = g.reshape(B * h, T, T)
+    wf = w.reshape(B * h, T, T)
+    pe_pad = jnp.concatenate([pe, jnp.zeros((h, 1, pd), pe.dtype)], axis=1)
+    pe_windows = jnp.stack(
+        [pe_pad[:, T - R - i * R : 2 * T - i * R, :] for i in range(n_tiles)],
+        axis=1,
+    )  # (h, n_tiles, W, pd)
+    coin_arr = jnp.reshape(coin_live.astype(jnp.float32), (1, 1))
+
+    dq, dk, dp, dpe_win = pl.pallas_call(
+        _attn_weights_bwd_kernel,
+        grid=(B * h, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, T), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, T), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, qd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, qd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, pd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, pd), lambda b, i: (b % h, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, qd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, qd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, pd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, pd), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * h, T, qd), jnp.float32),
+            jax.ShapeDtypeStruct((B * h, T, qd), jnp.float32),
+            jax.ShapeDtypeStruct((B * h, T, pd), jnp.float32),
+            jax.ShapeDtypeStruct((B * h, n_tiles, W, pd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(coin_arr, gf, wf, qf, kf, pf, pe_windows)
+
+    dq = dq.reshape(B, h, T, qd)
+    dk = dk.reshape(B, h, T, qd)
+    dp = dp.reshape(B, h, T, pd)
+    # fold overlapping window contributions (summed over batch) back into
+    # the global (2T-1)-row table: window i starts at global row T-R-i*R
+    dpe_win = dpe_win.reshape(B, h, n_tiles, W, pd).sum(axis=0)
+    dpe_pad = jnp.zeros((h, 2 * T, pd), jnp.float32)
+    for i in range(n_tiles):
+        start = T - R - i * R
+        dpe_pad = dpe_pad.at[:, start : start + W, :].add(dpe_win[:, i])
+    return dq, dk, dp, dpe_pad[:, : 2 * T - 1, :]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def rel_pos_attention_weights_trainable(
     q, k, p, pe, key_padding_mask, penalty_coin, interpret: bool = False,
@@ -522,6 +680,18 @@ def _float0(x):
 
 def _trainable_bwd(interpret, res, g):
     q, k, p, pe, mask, coin, w, smax = res
+    if BWD_KERNEL:
+        # the penalty grad is exactly zero unless the coin landed AND some
+        # |score| exceeded the limit; the kernel recomputes the score tile
+        # and gates on this scalar (always-on recompute is MXU noise)
+        coin_live = ((coin > 0) & (smax > _SCORE_LIMIT))
+        dq, dk, dp, dpe = _pallas_bwd(
+            q, k, p, pe, g, w, coin_live, interpret
+        )
+        return (
+            dq.astype(q.dtype), dk.astype(k.dtype), dp.astype(p.dtype),
+            dpe.astype(pe.dtype), _float0(mask), jnp.zeros_like(coin),
+        )
     g32 = g.astype(jnp.float32)
     w32 = w.astype(jnp.float32)
     ds = w32 * (g32 - jnp.sum(g32 * w32, axis=-1, keepdims=True))
