@@ -266,6 +266,11 @@ def main():
         (exp_dir / "model.json").write_text(
             json.dumps({"model": cfg}, indent=2)
         )
+        # env/git provenance (reference common.py:569-582 stamps it into
+        # the saved params; here it is a self-describing exp-dir file)
+        from zipvoice_tpu.utils.provenance import write_provenance
+
+        write_provenance(exp_dir, {"model_name": args.model_name})
 
     # ---- data -------------------------------------------------------------
     # Multi-host note: every process builds the IDENTICAL global batch (same
@@ -712,9 +717,20 @@ def main():
                 speed = tracker.get("frames", 0) / max(
                     time.time() - t_start, 1e-9
                 )
+                # device-memory high-water (reference train_zipvoice.py:
+                # 578-581 logs the CUDA max-allocated counter)
+                from zipvoice_tpu.utils.provenance import (
+                    device_memory_stats,
+                )
+
+                mem = device_memory_stats()
+                mem_s = (
+                    f" mem {mem['peak_bytes_in_use'] / 2**30:.2f}GiB peak"
+                    if mem and "peak_bytes_in_use" in mem else ""
+                )
                 logging.info(
                     f"epoch {epoch} step {step}: loss {loss:.4f} "
-                    f"[{tracker}] lr {lr:.2e} frames/s {speed:.0f}"
+                    f"[{tracker}] lr {lr:.2e} frames/s {speed:.0f}{mem_s}"
                 )
                 if tb:
                     tb.add_scalar("train/loss", loss, step)
