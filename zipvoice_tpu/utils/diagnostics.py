@@ -127,8 +127,25 @@ def collect_module_stats(
         s = _stats(arr)
         s["shape"] = tuple(arr.shape)
         s["dims"] = dimwise_stats(arr)
+        if _looks_like_attention(name, arr):
+            # attention-entropy diagnostic (reference zipformer.py:
+            # 1299-1322 randomly logs it at eval): mean over rows of
+            # -sum(w log w), in bits of effective support
+            w = np.asarray(arr, np.float32)
+            ent = -np.sum(w * np.log(np.clip(w, 1e-20, None)), axis=-1)
+            s["attn_entropy_mean"] = float(ent.mean())
+            s["attn_entropy_p95"] = float(np.percentile(ent, 95))
         stats[name] = s
     return stats
+
+
+def _looks_like_attention(name: str, arr: np.ndarray) -> bool:
+    """Softmaxed attention weights: a 4-dim (B, h, T, T) intermediate from
+    an attn-weights module whose rows sum to ~1."""
+    if arr.ndim != 4 or arr.shape[-1] != arr.shape[-2]:
+        return False
+    rows = np.asarray(arr[..., :1, :], np.float32).sum(axis=-1)
+    return bool(np.all(np.abs(rows - 1.0) < 1e-2))
 
 
 def find_nonfinite(tree: Any, prefix: str = "") -> Dict[str, int]:
