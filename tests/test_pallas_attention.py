@@ -223,3 +223,48 @@ def test_layer_fused_path_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=2e-5
     )
+
+
+def test_trainable_bwd_multi_tile():
+    """Backward-kernel paths that only exist with n_tiles > 1: dk
+    accumulation across row tiles and the overlapping dpe window fold
+    (T=256 -> R=128 -> 2 tiles)."""
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.ops.pallas_attention import (
+        rel_pos_attention_weights_trainable,
+    )
+
+    B, h, T, qd, pd = 1, 2, 256, 8, 4
+    rng = np.random.RandomState(5)
+    q = (0.5 * rng.randn(B, h, T, qd)).astype(np.float32)
+    k = (0.5 * rng.randn(B, h, T, qd)).astype(np.float32)
+    p = rng.randn(B, h, T, pd).astype(np.float32)
+    pe = rng.randn(h, 2 * T - 1, pd).astype(np.float32)
+    mask = np.zeros((B, T), bool)
+    mask[0, -19:] = True
+    g = rng.randn(B, h, T, T).astype(np.float32)
+    coin = jnp.asarray(0.0)
+
+    def f_kernel(q, k, p, pe):
+        w = rel_pos_attention_weights_trainable(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(p), jnp.asarray(pe),
+            jnp.asarray(mask), coin, interpret=True,
+        )
+        return jnp.sum(w * g)
+
+    def f_xla(q, k, p, pe):
+        w = _xla_weights(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(p), jnp.asarray(pe),
+            jnp.asarray(mask),
+        )
+        return jnp.sum(w * g)
+
+    v1, g1 = jax.value_and_grad(f_kernel, argnums=(0, 1, 2, 3))(q, k, p, pe)
+    v2, g2 = jax.value_and_grad(f_xla, argnums=(0, 1, 2, 3))(q, k, p, pe)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b, name in zip(g1, g2, ["dq", "dk", "dp", "dpe"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-3,
+            err_msg=f"grad {name}",
+        )

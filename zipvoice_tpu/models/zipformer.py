@@ -422,7 +422,7 @@ class SelfAttention(nn.Module):
         from zipvoice_tpu.ops import pallas_attention as _pa
 
         if (self.use_pallas and _pa.APPLY_KERNEL and not train
-                and T % 8 == 0 and T >= _pa.MIN_SEQ_LEN):
+                and T % 8 == 0 and T >= _pa.MIN_APPLY_SEQ_LEN):
             # weights @ values with a tiny N dim (vd=12) pays ~15× the HBM
             # floor under XLA's layout choices; stream it through VMEM
             out = _pa.attention_apply(attn_weights, v.transpose(0, 2, 1, 3))

@@ -51,6 +51,10 @@ APPLY_KERNEL = os.environ.get("ZIPVOICE_PALLAS_APPLY", "1") == "1"
 # pallas backward for the trainable weights kernel (vs the XLA backward,
 # which materializes a (B, h, T, 3T-2) f32 unskew intermediate)
 BWD_KERNEL = os.environ.get("ZIPVOICE_PALLAS_BWD", "1") == "1"
+# the application kernel is profitable below the weights kernel's
+# threshold too (whole-sequence row tiles make it DMA-bound): T=640 is
+# the mid U-Net level, T=320 is too small to matter
+MIN_APPLY_SEQ_LEN = int(os.environ.get("ZIPVOICE_PALLAS_APPLY_MIN", "640"))
 
 
 _TILES = (1280, 1024, 768, 640, 512, 384, 320, 256, 128, 64, 32, 16, 8)
@@ -556,16 +560,23 @@ def _attn_weights_bwd_kernel(
 
     # windowed unskew (adjoint of the forward roll): forward read
     # pos[r, c] = pos_win[r, (R-1-r) + c], so drel_win is the zero-padded
-    # ds with row r right-shifted by R-1-r.  Row-reverse -> per-row
-    # right-roll by the row index (stride-1 hardware roll) -> reverse.
-    # Wraparound is safe: row r' shifts by r' <= R-1 and columns
-    # [W-r', W) are zero padding.
+    # ds with row r right-shifted by R-1-r.  The hardware strided roll
+    # only shifts by INCREASING row index, so conjugate it with a row
+    # reversal; Mosaic has no `rev` primitive, so the reversal is an MXU
+    # matmul with the (R, R) exchange matrix (trivial FLOPs next to the
+    # kernel's HBM traffic).  Wraparound is safe: reversed row r' shifts
+    # by r' <= R-1 and columns [W-r', W) are zero padding.
     ds_pad = jnp.concatenate(
         [ds, jnp.zeros((R, W - T), jnp.float32)], axis=1
     )
-    rev = ds_pad[::-1, :]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    exch = (ii + jj == R - 1).astype(jnp.float32)
+    rev = jnp.dot(exch, ds_pad, preferred_element_type=jnp.float32)
     rolled = pltpu.roll(rev, 0, 1, stride=1, stride_axis=0)
-    drel_win = rolled[::-1, :]  # (R, W)
+    drel_win = jnp.dot(
+        exch, rolled, preferred_element_type=jnp.float32
+    )  # (R, W)
 
     dp_ref[0] = jnp.dot(
         drel_win, pe_ref[0, 0].astype(jnp.float32),
