@@ -195,7 +195,7 @@ def test_frame_bucket_hygiene():
     kernel_levels = [T for T in pl.FRAME_BUCKETS if T >= MIN_SEQ_LEN]
     assert kernel_levels, "no kernel-eligible bucket"
     for T in kernel_levels:
-        assert _row_tile(T) == 128, (T, _row_tile(T))
+        assert _row_tile(T) >= 128, (T, _row_tile(T))
     # each kernel shape costs a long Mosaic compile over the relay — keep
     # the ladder small
     assert len(kernel_levels) <= 6, kernel_levels

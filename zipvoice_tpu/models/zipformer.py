@@ -905,10 +905,13 @@ class ZipformerEncoder(nn.Module):
     ):
         T = src.shape[1]
         pos_emb = compact_rel_pos_encoding(T, self.pos_dim).astype(src.dtype)
-        if train:
-            # reference uses Dropout2(0.15) on the whole pos table — a fixed
-            # rate, NOT gated on the scheduled layer dropout_rate (which can
-            # anneal to 0 late in training while this stays active)
+        if train and not _static_zero(dropout_rate):
+            # reference uses Dropout2(0.15) on the whole pos table.  A
+            # SCHEDULED dropout_rate is a traced value (never static zero),
+            # so this stays active even when the schedule anneals to 0 —
+            # matching the reference's schedule-independent Dropout2.  A
+            # literal 0.0 is the caller's explicit all-dropout-off switch
+            # (tests, eval-mode probes) and disables it.
             pos_emb = nn.Dropout(rate=0.15, deterministic=False)(pos_emb)
 
         if self.time_embed_dim != -1:
