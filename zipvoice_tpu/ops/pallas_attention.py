@@ -46,7 +46,12 @@ MIN_SEQ_LEN = 1024
 # Independent toggles for the two application-side kernels (A/B-able via
 # env without code edits; the weights kernel itself is governed by the
 # model's use_pallas_attention flag + MIN_SEQ_LEN alone).
-FUSE_NONLIN = os.environ.get("ZIPVOICE_PALLAS_FUSE_NONLIN", "1") == "1"
+# NA fusion defaults OFF: its nv/na blocks add ~2.4 MB per grid step,
+# forcing the R=128 tile whose per-step overhead eats the fused saving
+# (on-chip A/B: fused 3.78 ms vs weights-only 3.33 ms at R=128, while
+# R=256 weights-only + separate NA einsum is faster than both; at R=256
+# the fused variant exceeds the 16 MB scoped-VMEM limit by 156 KB).
+FUSE_NONLIN = os.environ.get("ZIPVOICE_PALLAS_FUSE_NONLIN", "0") == "1"
 APPLY_KERNEL = os.environ.get("ZIPVOICE_PALLAS_APPLY", "1") == "1"
 # pallas backward for the trainable weights kernel (vs the XLA backward,
 # which materializes a (B, h, T, 3T-2) f32 unskew intermediate)
@@ -281,7 +286,9 @@ def _rel_pos_attention_weights_nonlin(q, k, p, pe, key_padding_mask, nv,
     B, h, T, qd = q.shape
     pd = p.shape[-1]
     hid = nv.shape[-1]
-    R = _row_tile(T)
+    # R=128 cap: the nv/na blocks put the R=256 variant 156 KB over the
+    # 16 MB scoped-VMEM limit at the bench shape
+    R = _divisor_tile(T, 128)
     n_tiles = T // R
     W = T + R
 
