@@ -52,13 +52,17 @@ MIN_SEQ_LEN = 1024
 # R=256 weights-only + separate NA einsum is faster than both; at R=256
 # the fused variant exceeds the 16 MB scoped-VMEM limit by 156 KB).
 FUSE_NONLIN = os.environ.get("ZIPVOICE_PALLAS_FUSE_NONLIN", "0") == "1"
-APPLY_KERNEL = os.environ.get("ZIPVOICE_PALLAS_APPLY", "1") == "1"
+# Application kernel defaults OFF: full-pipeline on-chip A/B (bench.py,
+# 16-step base, B=8, T=1280) measured RTF 0.01097 with the XLA einsum
+# apply vs 0.01269 with the kernel — XLA fuses the bhts,bhsd einsum with
+# its surrounding projections better than the standalone kernel's DMA
+# schedule, even at whole-sequence row tiles.
+APPLY_KERNEL = os.environ.get("ZIPVOICE_PALLAS_APPLY", "0") == "1"
 # pallas backward for the trainable weights kernel (vs the XLA backward,
 # which materializes a (B, h, T, 3T-2) f32 unskew intermediate)
 BWD_KERNEL = os.environ.get("ZIPVOICE_PALLAS_BWD", "1") == "1"
-# the application kernel is profitable below the weights kernel's
-# threshold too (whole-sequence row tiles make it DMA-bound): T=640 is
-# the mid U-Net level, T=320 is too small to matter
+# application-kernel threshold when enabled: T=640 is the mid U-Net
+# level, T=320 is too small to matter
 MIN_APPLY_SEQ_LEN = int(os.environ.get("ZIPVOICE_PALLAS_APPLY_MIN", "640"))
 
 
