@@ -90,6 +90,28 @@ def main():
         rng=jax.random.PRNGKey(1),
         train=False,
     )["params"]
+    if args.model_name == "zipvoice_distill":
+        # @nn.compact lazy init: the training call never creates the
+        # sampling-only guidance_scale_embed, so init the sample path too
+        # and graft it in (same pitfall as the stereo projection pair)
+        from zipvoice_tpu.utils.structural_loaders import graft_missing
+
+        params_sample = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            tokens=jnp.ones((B, 8), jnp.int32),
+            tokens_lens=jnp.full((B,), 7, jnp.int32),
+            prompt_tokens_lens=jnp.full((B,), 3, jnp.int32),
+            prompt_features=jnp.zeros((B, T, F)),
+            prompt_features_lens=jnp.full((B,), 16, jnp.int32),
+            features_lens=jnp.full((B,), T, jnp.int32),
+            noise=jnp.zeros((B, T, F)),
+            num_step=1,
+            guidance_scale=2.0,
+            t_shift=0.5,
+            method="sample",
+        )["params"]
+        params = jax.tree.map(lambda x: x, params)
+        graft_missing(params, params_sample)
     n = sum(p.size for p in jax.tree.leaves(params))
     print(f"params: {n / 1e6:.1f}M")
 
