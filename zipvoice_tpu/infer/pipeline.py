@@ -343,6 +343,33 @@ class InferencePipeline:
             "rtf": t / max(wav_seconds, 1e-9),
         }
 
+    def warm_engines(self) -> int:
+        """Drive every attached AOT engine once at its exact (B, S, T)
+        bucket (plus the vocoder/strip glue at that shape), so a server
+        accepts traffic with zero jit compiles on the declared buckets.
+        Returns the number of engines warmed."""
+        if not self._engines:
+            return 0
+        F = self.model.feat_dim
+        for (B, S, T), eng in sorted(self._engines.items()):
+            tok = jnp.ones((B, S), jnp.int32)
+            tok_lens = jnp.full((B,), S, jnp.int32)
+            ptl = jnp.full((B,), max(S // 4, 1), jnp.int32)
+            pfl = np.full((B,), min(64, T), np.int32)
+            fl = jnp.full((B,), T, jnp.int32)
+            x1, padding_mask = eng(
+                self.params, tok, tok_lens, ptl,
+                jnp.zeros((B, T, F)), jnp.asarray(pfl), fl,
+                jnp.zeros((B, T, F)),
+            )
+            x1_wo, wo_lens = self._strip_fn()(x1, padding_mask,
+                                              jnp.asarray(pfl))
+            # vocoder at this bucket's generated length
+            n = max(int(np.asarray(wo_lens)[0]), 1)
+            self._vocode_chunks([np.asarray(x1_wo)[0, :n]])
+            logging.info(f"warmed engine bucket B={B} S={S} T={T}")
+        return len(self._engines)
+
     # --- internals ----------------------------------------------------------
 
     def _sample_batch(
@@ -373,6 +400,16 @@ class InferencePipeline:
             pfl.astype(np.float32) / ptl.astype(np.float32)
             * text_lens.astype(np.float32) / speed
         ).astype(np.int32)
+        if int(fl.max()) > FRAME_BUCKETS[-1]:
+            # an over-long request (or a prompt with an extreme
+            # frames-per-token ratio) must degrade to a truncated
+            # generation, not kill the serving worker — callers wanting
+            # full length should chunk the text (frontend/text_chunking)
+            logging.warning(
+                f"predicted {int(fl.max())} frames exceeds the largest "
+                f"bucket {FRAME_BUCKETS[-1]}; truncating"
+            )
+            fl = np.minimum(fl, FRAME_BUCKETS[-1])
         T = bucket_length(int(fl.max()), FRAME_BUCKETS)
         pf = np.zeros((B, T, prompt_features.shape[1]), np.float32)
         pf[:, :pfl_scalar] = prompt_features[None]

@@ -346,12 +346,21 @@ def main():
         pipeline, max_batch=args.max_batch, num_step=args.num_step,
         guidance_scale=args.guidance_scale,
     )
-    if args.warmup:
+    if args.warmup and args.engine_dir and pipeline._engines:
+        # engines declare the serving buckets: warm exactly those (zero
+        # jit compiles at startup); off-bucket requests jit on demand
+        logging.info("warming attached AOT engine buckets...")
+        n = pipeline.warm_engines()
+        logging.info(f"warmup done ({n} engines)")
+    elif args.warmup:
         import numpy as np
 
         logging.info("warming compile cache over common buckets...")
         rngw = np.random.RandomState(0)
-        prompt_tokens = [1, 2, 3, 4]
+        # ~8 frames/token matches real speech; a shorter prompt-token list
+        # against 200 prompt frames inflates the duration prediction
+        # (fl = pfl + pfl/ptl * text_len) past the bucket ladder
+        prompt_tokens = list(rngw.randint(1, model.vocab_size, 24))
         feats = (rngw.randn(200, model.feat_dim) * 0.1).astype(np.float32)
         for nb in (1, args.max_batch):
             for ntok in (24, 96):
