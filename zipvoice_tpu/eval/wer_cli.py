@@ -72,9 +72,25 @@ def transcribe_whisper(model_path: str, wav_paths, lang: str):
     processor = WhisperProcessor.from_pretrained(model_path)
     model = WhisperForConditionalGeneration.from_pretrained(model_path)
     model.to(device).eval()
-    forced = processor.get_decoder_prompt_ids(
-        language="english" if lang == "en" else "chinese", task="transcribe"
-    )
+    language = "english" if lang == "en" else "chinese"
+    # The reference passes forced_decoder_ids to generate (seedtts.py:220),
+    # an API transformers removed in 4.5x.  Force the same
+    # language+transcribe prompt through the supported surface: the
+    # language/task kwargs when the checkpoint's generation_config carries
+    # the token maps (whisper-large-v3 does), else an explicit decoder
+    # prompt built from the same get_decoder_prompt_ids ids.
+    gen_kwargs = {}
+    if getattr(model.generation_config, "lang_to_id", None):
+        gen_kwargs = {"language": language, "task": "transcribe"}
+    else:
+        forced = processor.get_decoder_prompt_ids(
+            language=language, task="transcribe"
+        )
+        prompt = [model.config.decoder_start_token_id]
+        prompt += [tok for _, tok in forced]
+        gen_kwargs = {
+            "decoder_input_ids": torch.tensor([prompt], device=device)
+        }
     outputs = []
     for p in wav_paths:
         wav = load_wav(p, 16000)[0]
@@ -82,7 +98,7 @@ def transcribe_whisper(model_path: str, wav_paths, lang: str):
             wav, sampling_rate=16000, return_tensors="pt"
         ).input_features.to(device)
         with torch.no_grad():
-            ids = model.generate(feats, forced_decoder_ids=forced)
+            ids = model.generate(feats, **gen_kwargs)
         outputs.append(
             processor.batch_decode(ids, skip_special_tokens=True)[0]
         )
