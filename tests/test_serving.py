@@ -152,3 +152,30 @@ def test_server_end_to_end(tiny_model_dir):
         assert e.code == 404
         assert "unknown voice" in json.loads(e.read())["error"]["message"]
     server.shutdown()
+
+
+def test_warm_bucket(tiny_model_dir):
+    """warm_bucket precompiles the exact (B, S, T) sample program plus the
+    batched vocoder glue, and a following real request at that bucket
+    reuses the cached programs (no new compile entries)."""
+    from zipvoice_tpu.infer.pipeline import InferencePipeline
+    from zipvoice_tpu.utils.checkpoint_io import load_model_dir, load_vocos
+
+    model, params, tokenizer = load_model_dir(str(tiny_model_dir), "zipvoice")
+    vocoder, vp = load_vocos(None)
+    pipe = InferencePipeline(model, params, vocoder, vp, tokenizer)
+    pipe.warm_bucket(2, 32, 128, num_step=2, guidance_scale=1.0)
+    n_sample = len(pipe._sample_cache)
+    n_vocode = len(pipe._vocode_cache)
+    assert n_sample == 1
+    # a real 2-utterance batch landing in the warmed bucket: same programs
+    toks = tokenizer.texts_to_token_ids(["hi there.", "more text."])
+    feats, lens = pipe._sample_batch(
+        toks, tokenizer.texts_to_token_ids(["a prompt."])[0],
+        np.random.RandomState(0).randn(24, model.feat_dim).astype("f") * 0.1,
+        num_step=2, guidance_scale=1.0, speed=1.0, t_shift=0.5,
+    )
+    pipe._vocode_chunks([feats[i, : lens[i]] for i in range(2)])
+    assert len(pipe._sample_cache) == n_sample
+    assert len(pipe._vocode_cache) == n_vocode
+    assert np.isfinite(feats).all()

@@ -65,13 +65,19 @@ class InferencePipeline:
             assert quantize == "int8", quantize
             from zipvoice_tpu.serving.quantize import quantize_params
 
-            params = jax.device_put(
-                quantize_params(jax.device_get(params))
-            )
+            params = quantize_params(jax.device_get(params))
             if vocoder_params is not None:
-                vocoder_params = jax.device_put(
-                    quantize_params(jax.device_get(vocoder_params))
+                vocoder_params = quantize_params(
+                    jax.device_get(vocoder_params)
                 )
+        # Pin weights on device ONCE.  Converted checkpoints arrive as host
+        # numpy trees; passing those to a jitted program re-uploads every
+        # parameter per call (~0.5 GB for the 123M model — seconds per
+        # request through a remote-TPU relay, and a silent PCIe tax
+        # everywhere else).
+        params = jax.device_put(params)
+        if vocoder_params is not None:
+            vocoder_params = jax.device_put(vocoder_params)
         self.params = params
         self.vocoder = vocoder
         self.vocoder_params = vocoder_params
@@ -343,6 +349,29 @@ class InferencePipeline:
             "rtf": t / max(wav_seconds, 1e-9),
         }
 
+    def warm_bucket(self, B: int, S: int, T: int, num_step: int,
+                    guidance_scale: float, t_shift: float = 0.5) -> None:
+        """Precompile the jitted sample program (plus the strip/vocoder
+        glue) at one exact (batch, token, frame) bucket.  The serving
+        analog of a TensorRT optimization profile
+        (reference zipvoice/bin/tensorrt_export.py:112-133): traffic on a
+        warmed bucket never pays a compile stall."""
+        F = self.model.feat_dim
+        fn = self._sample_fn(num_step, guidance_scale, t_shift)
+        pfl = np.full((B,), min(64, T), np.int32)
+        x1_wo, wo_lens = fn(
+            self.params, jnp.ones((B, S), jnp.int32),
+            jnp.full((B,), S, jnp.int32),
+            jnp.full((B,), max(S // 4, 1), jnp.int32),
+            jnp.zeros((B, T, F)), jnp.asarray(pfl),
+            jnp.full((B,), T, jnp.int32), jnp.zeros((B, T, F)),
+        )
+        n = max(int(np.asarray(wo_lens)[0]), 1)
+        # B chunks: a full micro-batch vocodes as one (B, T) program, so
+        # warming a single chunk would leave the batched vocoder shape cold
+        self._vocode_chunks([np.asarray(x1_wo)[0, :n]] * B)
+        logging.info(f"warmed bucket B={B} S={S} T={T}")
+
     def warm_engines(self) -> int:
         """Drive every attached AOT engine once at its exact (B, S, T)
         bucket (plus the vocoder/strip glue at that shape), so a server
@@ -364,9 +393,10 @@ class InferencePipeline:
             )
             x1_wo, wo_lens = self._strip_fn()(x1, padding_mask,
                                               jnp.asarray(pfl))
-            # vocoder at this bucket's generated length
+            # vocoder at this bucket's generated length, at the full
+            # micro-batch width (B chunks vocode as one (B, T) program)
             n = max(int(np.asarray(wo_lens)[0]), 1)
-            self._vocode_chunks([np.asarray(x1_wo)[0, :n]])
+            self._vocode_chunks([np.asarray(x1_wo)[0, :n]] * B)
             logging.info(f"warmed engine bucket B={B} S={S} T={T}")
         return len(self._engines)
 

@@ -301,6 +301,13 @@ def main():
     p.add_argument("--warmup", action="store_true",
                    help="precompile common (batch, token, frame) buckets "
                         "before accepting traffic (AOT engine warm)")
+    p.add_argument("--warmup-buckets", type=str, default=None,
+                   help="explicit comma list of B:S:T buckets to "
+                        "precompile (with --warmup): the serving analog "
+                        "of TensorRT optimization profiles — declare the "
+                        "shapes your traffic hits and no request ever "
+                        "pays a compile stall.  Read 'sample bucket' "
+                        "lines from a traffic log to pick them")
     p.add_argument("--quantize", type=str, default=None,
                    choices=(None, "int8"),
                    help="weight-only int8 serving: params stored int8 in "
@@ -352,24 +359,32 @@ def main():
         logging.info("warming attached AOT engine buckets...")
         n = pipeline.warm_engines()
         logging.info(f"warmup done ({n} engines)")
+    elif args.warmup and args.warmup_buckets:
+        logging.info("warming declared buckets...")
+        for spec in args.warmup_buckets.split(","):
+            B, S, T = (int(x) for x in spec.strip().split(":"))
+            pipeline.warm_bucket(
+                B, S, T, num_step=args.num_step,
+                guidance_scale=args.guidance_scale,
+            )
+        logging.info("warmup done")
     elif args.warmup:
-        import numpy as np
+        from zipvoice_tpu.infer.pipeline import BATCH_BUCKETS
 
         logging.info("warming compile cache over common buckets...")
-        rngw = np.random.RandomState(0)
-        # ~8 frames/token matches real speech; a shorter prompt-token list
-        # against 200 prompt frames inflates the duration prediction
-        # (fl = pfl + pfl/ptl * text_len) past the bucket ladder
-        prompt_tokens = list(rngw.randint(1, model.vocab_size, 24))
-        feats = (rngw.randn(200, model.feat_dim) * 0.1).astype(np.float32)
-        for nb in (1, args.max_batch):
-            for ntok in (24, 96):
-                toks = [list(rngw.randint(1, model.vocab_size, ntok))
-                        for _ in range(nb)]
-                pipeline._sample_batch(
-                    toks, prompt_tokens, feats, num_step=args.num_step,
-                    guidance_scale=args.guidance_scale, speed=1.0,
-                    t_shift=0.5,
+        # every batch bucket up to max_batch: micro-batching forms
+        # intermediate sizes (2, 4, ...) the moment two requests land in
+        # one window, and an unwarmed size stalls them for a full compile.
+        # (S, T) pairs cover short (~5 s) and long (~10 s) requests with a
+        # 2-4 s prompt; declare exact traffic shapes via --warmup-buckets.
+        batches = [b for b in BATCH_BUCKETS if b <= args.max_batch]
+        if args.max_batch not in batches:
+            batches.append(args.max_batch)
+        for nb in batches:
+            for (ntok, nframe) in ((64, 512), (64, 768), (128, 1024)):
+                pipeline.warm_bucket(
+                    nb, ntok, nframe, num_step=args.num_step,
+                    guidance_scale=args.guidance_scale,
                 )
         logging.info("warmup done")
     server = ThreadingHTTPServer(
