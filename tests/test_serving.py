@@ -179,3 +179,43 @@ def test_warm_bucket(tiny_model_dir):
     assert len(pipe._sample_cache) == n_sample
     assert len(pipe._vocode_cache) == n_vocode
     assert np.isfinite(feats).all()
+
+
+def test_warm_bucket_snaps_off_ladder_specs(tiny_model_dir):
+    """An off-ladder --warmup-buckets spec (e.g. 3:40:100) must warm the
+    bucketed shape _sample_batch will actually dispatch, not a dead one."""
+    from zipvoice_tpu.infer.pipeline import InferencePipeline
+    from zipvoice_tpu.utils.checkpoint_io import load_model_dir, load_vocos
+
+    model, params, tokenizer = load_model_dir(str(tiny_model_dir), "zipvoice")
+    vocoder, vp = load_vocos(None)
+    pipe = InferencePipeline(model, params, vocoder, vp, tokenizer)
+    pipe.warm_bucket(3, 40, 100, num_step=2, guidance_scale=1.0)
+    # snapped up to (4, 64, 128); a real 3-utterance batch reuses it
+    assert (4, 64, 128) in pipe._seen_buckets
+    toks = tokenizer.texts_to_token_ids(["one.", "two.", "three."])
+    feats, lens = pipe._sample_batch(
+        toks, tokenizer.texts_to_token_ids(["a prompt."])[0],
+        np.random.RandomState(0).randn(24, model.feat_dim).astype("f") * 0.1,
+        num_step=2, guidance_scale=1.0, speed=1.0, t_shift=0.5,
+    )
+    assert len(pipe._sample_cache) == 1
+    assert np.isfinite(feats).all()
+
+
+def test_server_warmup_batches_round_to_buckets():
+    """--max-batch 6 must warm B=8 (the bucket real traffic dispatches),
+    never a dead B=6 program (ADVICE r3)."""
+    from zipvoice_tpu.frontend.batch import bucket_length
+    from zipvoice_tpu.infer.pipeline import BATCH_BUCKETS
+
+    max_batch = 6
+    batches = sorted({
+        b for b in BATCH_BUCKETS if b <= max_batch
+    } | {bucket_length(max_batch, BATCH_BUCKETS)})
+    assert batches == [1, 2, 4, 8]
+    max_batch = 8
+    batches = sorted({
+        b for b in BATCH_BUCKETS if b <= max_batch
+    } | {bucket_length(max_batch, BATCH_BUCKETS)})
+    assert batches == [1, 2, 4, 8]

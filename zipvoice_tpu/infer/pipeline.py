@@ -356,6 +356,21 @@ class InferencePipeline:
         analog of a TensorRT optimization profile
         (reference zipvoice/bin/tensorrt_export.py:112-133): traffic on a
         warmed bucket never pays a compile stall."""
+        # snap to the bucket ladder: _sample_batch always rounds shapes up
+        # via bucket_length, so an off-ladder spec (e.g. 3:100:600) would
+        # compile a program real traffic never reuses
+        B_b, S_b, T_b = (
+            bucket_length(B, BATCH_BUCKETS),
+            bucket_length(S, TOKEN_BUCKETS),
+            bucket_length(T, FRAME_BUCKETS),
+        )
+        if (B_b, S_b, T_b) != (B, S, T):
+            logging.warning(
+                f"warm_bucket({B},{S},{T}) is off the bucket ladder; "
+                f"snapping to B={B_b} S={S_b} T={T_b} (the shape "
+                f"_sample_batch will actually dispatch)"
+            )
+            B, S, T = B_b, S_b, T_b
         F = self.model.feat_dim
         fn = self._sample_fn(num_step, guidance_scale, t_shift)
         pfl = np.full((B,), min(64, T), np.int32)
@@ -370,6 +385,9 @@ class InferencePipeline:
         # B chunks: a full micro-batch vocodes as one (B, T) program, so
         # warming a single chunk would leave the batched vocoder shape cold
         self._vocode_chunks([np.asarray(x1_wo)[0, :n]] * B)
+        if not hasattr(self, "_seen_buckets"):
+            self._seen_buckets = set()
+        self._seen_buckets.add((B, S, T))
         logging.info(f"warmed bucket B={B} S={S} T={T}")
 
     def warm_engines(self) -> int:

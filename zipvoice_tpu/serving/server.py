@@ -353,9 +353,20 @@ def main():
         pipeline, max_batch=args.max_batch, num_step=args.num_step,
         guidance_scale=args.guidance_scale,
     )
+    if args.warmup_buckets and not args.warmup:
+        # declaring exact traffic shapes is an explicit request to warm
+        # them — don't silently ignore it when --warmup was omitted
+        logging.info("--warmup-buckets given: enabling --warmup")
+        args.warmup = True
     if args.warmup and args.engine_dir and pipeline._engines:
         # engines declare the serving buckets: warm exactly those (zero
         # jit compiles at startup); off-bucket requests jit on demand
+        if args.warmup_buckets:
+            logging.warning(
+                "--engine-dir engines supersede --warmup-buckets: warming "
+                "the exported engine buckets instead (re-export with "
+                "bin/export_model --buckets to change them)"
+            )
         logging.info("warming attached AOT engine buckets...")
         n = pipeline.warm_engines()
         logging.info(f"warmup done ({n} engines)")
@@ -369,6 +380,7 @@ def main():
             )
         logging.info("warmup done")
     elif args.warmup:
+        from zipvoice_tpu.frontend.batch import bucket_length
         from zipvoice_tpu.infer.pipeline import BATCH_BUCKETS
 
         logging.info("warming compile cache over common buckets...")
@@ -377,9 +389,12 @@ def main():
         # one window, and an unwarmed size stalls them for a full compile.
         # (S, T) pairs cover short (~5 s) and long (~10 s) requests with a
         # 2-4 s prompt; declare exact traffic shapes via --warmup-buckets.
-        batches = [b for b in BATCH_BUCKETS if b <= args.max_batch]
-        if args.max_batch not in batches:
-            batches.append(args.max_batch)
+        # max_batch is rounded UP to its bucket: _sample_batch dispatches
+        # bucketed shapes, so e.g. --max-batch 6 traffic runs at B=8 and
+        # warming a B=6 program would leave the real bucket cold.
+        batches = sorted({
+            b for b in BATCH_BUCKETS if b <= args.max_batch
+        } | {bucket_length(args.max_batch, BATCH_BUCKETS)})
         for nb in batches:
             for (ntok, nframe) in ((64, 512), (64, 768), (128, 1024)):
                 pipeline.warm_bucket(
