@@ -95,6 +95,7 @@ _R = [
     ("ought", "", "", ("ɔː", "t")),
     ("aught", "", "", ("ɔː", "t")),
     ("eigh", "", "", ("eɪ",)),
+    ("augh", "", "$", ("æ", "f")),  # laugh
     ("augh", "", "", ("ɔː",)),
     ("ough", "", "$", ("oʊ",)),
     ("ough", "", "", ("ʌ", "f")),
@@ -107,12 +108,16 @@ _R = [
     ("ck", "", "", ("k",)),
     ("ch", "", "", ("tʃ",)),
     ("sh", "", "", ("ʃ",)),
+    # th is voiced between vowel letters and in -ther (mother, either)
+    ("th", f"[{_V}]", f"[{_V}]", ("ð",)),
+    ("th", "", "er", ("ð",)),
     ("th", "", "", ("θ",)),
     ("ph", "", "", ("f",)),
     ("gh", "^", "", ("ɡ",)),
     ("gh", "", "", ("",)),  # silent elsewhere (light, weigh)
     ("wh", "", "o", ("h",)),  # who, whole
     ("wh", "", "", ("w",)),
+    ("wor", "^", f"[{_C}]", ("w", "ɜː")),  # work, word, world
     ("wr", "^", "", ("ɹ",)),
     ("kn", "^", "", ("n",)),
     ("gn", "^", "", ("n",)),
@@ -125,6 +130,17 @@ _R = [
     ("ng", "", "", ("ŋ", "ɡ")),
     ("nk", "", "", ("ŋ", "k")),
     ("le", f"[{_C}]", "$", ("ə", "l")),  # syllabic -le (table, beetle)
+    ("les", f"[{_C}]", "$", ("ə", "l", "z")),  # tables, beetles
+    # --- inflectional endings (silent e + voicing assimilation) ------------
+    # -es/-ed after a consonant letter: the e is silent and the s/d
+    # assimilates in voicing (makes/jones; liked/loved).  After sibilant
+    # graphemes the vowel survives as espeak's reduced ᵻ (boxes, roses).
+    ("es", "(sh|ch|dg|[scxzg])", "$", ("ᵻ", "z")),
+    ("es", "[ptkf]", "$", ("s",)),
+    ("es", f"[{_C}]", "$", ("z",)),
+    ("ed", "(t|d)", "$", ("ᵻ", "d")),
+    ("ed", "([pkf]|sh|ch|ss|[cx])", "$", ("t",)),
+    ("ed", f"[{_C}]", "$", ("d",)),
     ("sc", "", "[eiy]", ("s",)),
     ("cc", "", "[eiy]", ("k", "s")),
     ("cc", "", "", ("k",)),
@@ -159,6 +175,7 @@ _R = [
     ("p", "", "", ("p",)),
     ("r", "", "", ("ɹ",)),
     ("s", f"[{_V}]", f"[{_V}]", ("z",)),  # intervocalic s -> z (rose)
+    ("s", "(oe|[aeiou][yw])", "$", ("z",)),  # plural after glide: days, shoes
     ("s", "", "", ("s",)),
     ("t", "", "ion", ("ʃ",)),  # -tion caught here too when suffix missed
     ("t", "", "ure", ("tʃ",)),  # nature
@@ -169,6 +186,11 @@ _R = [
     ("x", "", "", ("k", "s")),
     ("z", "", "", ("z",)),
     # --- vowel digraphs ------------------------------------------------------
+    # unstressed initial a- (about, again, away): word-initial a before a
+    # single consonant + vowel reads as the reduced ɐ
+    ("a", "^", f"[{_C}](?!e[sd]?$)[{_V}]", ("ɐ",)),  # not magic-e (age, ate)
+    ("ould", "", "$", ("ʊ", "d")),  # would, could, should
+    ("iew", "", "", ("j", "uː")),  # view, review
     ("air", "", "", ("ɛ", "ɹ")),
     ("are", "", "$", ("ɛ", "ɹ")),
     ("ear", "", f"[{_C}]", ("ɜː",)),  # learn, earth
@@ -185,6 +207,9 @@ _R = [
     ("aw", "", "", ("ɔː",)),
     ("alk", "", "", ("ɔː", "k")),
     ("all", "", "", ("ɔː", "l")),
+    # unstressed final -ar/-or in multisyllables reduce to ɚ (sugar,
+    # color); an earlier vowel in the prefix marks multisyllabicity
+    ("ar", f"[{_V}].*[{_C}]", "s?$", ("ɚ",)),
     ("ar", "", "", ("ɑː", "ɹ")),
     ("ee", "", "", ("iː",)),
     ("ea", "", "", ("iː",)),
@@ -195,8 +220,17 @@ _R = [
     ("eu", "", "", ("uː",)),
     ("er", "", "$", ("ɚ",)),
     ("er", "", "", ("ɜː",)),
+    # -ies/-ied: tries/flies -> aɪ in monosyllabic stems, cities/armies -> i
+    # in longer ones (an earlier vowel in the prefix marks multisyllabicity)
+    ("ies", f"[{_V}].*[{_C}]", "$", ("i", "z")),
+    ("ies", "", "$", ("aɪ", "z")),
+    ("ied", f"[{_V}].*[{_C}]", "$", ("i", "d")),
+    ("ied", "", "$", ("aɪ", "d")),
     ("ie", "", "$", ("aɪ",)),
     ("ie", "", "", ("iː",)),
+    ("oe", "", "s?$", ("oʊ",)),
+    ("ire", "", "s?$", ("aɪ", "ɚ")),  # fire, desire
+    ("ion", "", "$", ("i", "ə", "n")),  # opinion (tion/sion peel earlier)
     ("ir", "", "", ("ɜː",)),
     ("oa", "", "", ("oʊ",)),
     ("oo", "", "k", ("ʊ",)),
@@ -207,19 +241,22 @@ _R = [
     ("ow", "", "$", ("oʊ",)),
     ("ow", "", "", ("aʊ",)),
     ("ore", "", "$", ("oː", "ɹ")),
+    ("or", f"[{_V}].*[{_C}]", "s?$", ("ɚ",)),  # color, error, majors
     ("or", "", "", ("ɔː", "ɹ")),
     ("old", "", "", ("oʊ", "l", "d")),
     ("ur", "", "", ("ɜː",)),
     ("ue", "", "$", ("uː",)),
     ("ui", "", "", ("uː",)),
     # --- single vowels -------------------------------------------------------
-    # magic-e long vowels: V + single consonant + final e
-    ("a", "", f"[{_C}]e$", ("eɪ",)),
-    ("u", "[bcfghkmpv]", f"[{_C}]e$", ("j", "uː")),  # cube, fume
-    ("i", "", f"[{_C}]e$", ("aɪ",)),
-    ("o", "", f"[{_C}]e$", ("oʊ",)),
-    ("u", "", f"[{_C}]e$", ("uː",)),
-    ("e", "", f"[{_C}]e$", ("iː",)),
+    # magic-e long vowels: V + single consonant + final e, including the
+    # inflected spellings where -s/-d follows the silent e (makes, used)
+    ("a", "", f"[{_C}]e[sd]?$", ("eɪ",)),
+    ("u", "[bcfghkmpv]", f"[{_C}]e([sd]|r|rs)?$", ("j", "uː")),  # cube, fume
+    ("u", "^", f"[{_C}]e([sd]|r|rs)?$", ("j", "uː")),  # use, user, used
+    ("i", "", f"[{_C}]e[sd]?$", ("aɪ",)),
+    ("o", "", f"[{_C}]e[sd]?$", ("oʊ",)),
+    ("u", "", f"[{_C}]e([sd]|r|rs)?$", ("uː",)),
+    ("e", "", f"[{_C}]e[sd]?$", ("iː",)),
     ("ind", "", "$", ("aɪ", "n", "d")),
     ("ild", "", "$", ("aɪ", "l", "d")),
     ("a", "", "$", ("ə",)),
@@ -249,8 +286,13 @@ _SUFFIX_PHONES = {
     "ition": (("ɪ", "ʃ", "ə", "n"), 2),
     "tion": (("ʃ", "ə", "n"), 2),
     "sion": (("ʒ", "ə", "n"), 2),
+    "gion": (("dʒ", "ə", "n"), 2),
+    "iage": (("ɪ", "dʒ"), None),
+    "cially": (("ʃ", "ə", "l", "i"), 3),
+    "tially": (("ʃ", "ə", "l", "i"), 3),
     "cial": (("ʃ", "ə", "l"), 2),
     "tial": (("ʃ", "ə", "l"), 2),
+    "ally": (("ə", "l", "i"), None),
     "cian": (("ʃ", "ə", "n"), 2),
     "ture": (("tʃ", "ɚ"), None),
     "sure": (("ʒ", "ɚ"), None),
@@ -258,7 +300,9 @@ _SUFFIX_PHONES = {
     "ness": (("n", "ə", "s"), None),
     "ful": (("f", "ə", "l"), None),
     "less": (("l", "ə", "s"), None),
+    "ious": (("i", "ə", "s"), None),
     "ous": (("ə", "s"), None),
+    "ial": (("i", "ə", "l"), 2),
     "able": (("ə", "b", "ə", "l"), None),
     "ible": (("ɪ", "b", "ə", "l"), None),
     "ity": (("ɪ", "ɾ", "i"), 3),
@@ -293,15 +337,19 @@ def _match_rule(word: str, i: int) -> Tuple[Tuple[str, ...], int]:
     return (), 1  # unknown char: skip
 
 
-def _lts_segments(word: str) -> List[str]:
-    """Run the rule engine; returns phone segments (no stress marks)."""
+def _lts_segments(word: str, ensure_nucleus: bool = True) -> List[str]:
+    """Run the rule engine; returns phone segments (no stress marks).
+
+    ``ensure_nucleus=False`` is for stems whose suffix supplies the
+    nucleus (na+tion): no schwa is inserted into a vowel-less stem.
+    """
     segs: List[str] = []
     i = 0
     while i < len(word):
         phones, n = _match_rule(word, i)
         segs.extend(p for p in phones if p)
         i += n
-    if not any(s in VOWELS for s in segs) and word:
+    if ensure_nucleus and not any(s in VOWELS for s in segs) and word:
         # every word needs a nucleus (e.g. silent-e-only words): re-read a
         # final 'e' as ɛ, else insert ə before the last consonant
         if word.rstrip("'").endswith("e"):
@@ -380,9 +428,11 @@ def _morph(word: str) -> Optional[str]:
         if b:
             return _s_suffix(b)
     if word.endswith("ies") and base(word[:-3] + "y"):
-        return _strip_final(base(word[:-3] + "y"), "i") + "iz"
+        b = base(word[:-3] + "y")
+        # cities: -i + iz; flies (y said aɪ): just + z
+        return b + "z" if b.endswith("ɪ") else _strip_final(b, "i") + "iz"
     if word.endswith("es"):
-        for blen in (2, 1):  # boxes -> box; makes -> make
+        for blen in (1, 2):  # makes -> make first; boxes -> box
             b = base(word[:-blen])
             if b:
                 return _s_suffix(b)
@@ -391,18 +441,26 @@ def _morph(word: str) -> Optional[str]:
         if b:
             return _s_suffix(b)
     if word.endswith("ied") and base(word[:-3] + "y"):
-        return _strip_final(base(word[:-3] + "y"), "i") + "id"
+        b = base(word[:-3] + "y")
+        return b + "d" if b.endswith("ɪ") else _strip_final(b, "i") + "id"
     if word.endswith("ed"):
-        for b_ in (word[:-2], word[:-1], word[:-3] if _doubled(word[:-2]) else None):
+        # e-restoration first ("used" is use+d, not us+ed)
+        for b_ in (word[:-1], word[:-2],
+                   word[:-3] if _doubled(word[:-2]) else None):
             if b_ and base(b_):
                 return _ed_suffix(base(b_))
     if word.endswith("ing"):
-        for b_ in (word[:-3], word[:-3] + "e",
-                   word[:-4] if _doubled(word[:-3]) else None):
+        raw = word[:-3]
+        # e-restoration only on a real stem ("thing" is not the+ing); for
+        # consonant-final raws prefer it ("using" is use+ing, not us+ing)
+        restored = raw + "e" if any(c in _V for c in raw) else None
+        cands = ([raw, restored] if (raw and raw[-1] in _V)
+                 else [restored, raw])
+        for b_ in cands + [word[:-4] if _doubled(raw) else None]:
             if b_ and base(b_):
                 return base(b_) + "ɪŋ"
     if word.endswith("er"):
-        for b_ in (word[:-2], word[:-1],
+        for b_ in (word[:-1], word[:-2],
                    word[:-3] if _doubled(word[:-2]) else None,
                    word[:-3] + "y" if word.endswith("ier") else None):
             if b_ and base(b_):
@@ -414,6 +472,8 @@ def _morph(word: str) -> Optional[str]:
                 return _trim_weak_final(base(b_)) + "əst"
     if word.endswith("ly") and base(word[:-2]):
         return base(word[:-2]) + "li"
+    if word.endswith("ty") and base(word[:-2]):
+        return base(word[:-2]) + "ti"  # safety, ninety
     if word.endswith("ness") and base(word[:-4]):
         return base(word[:-4]) + "nəs"
     if word.endswith("ment") and base(word[:-4]):
@@ -425,8 +485,20 @@ def _morph(word: str) -> Optional[str]:
     for pre, ph in (("un", "ʌn"), ("re", "ɹiː"), ("non", "nɑːn"),
                     ("dis", "dɪs"), ("pre", "pɹiː"), ("mis", "mɪs"),
                     ("over", "ˌoʊvɚ"), ("under", "ˌʌndɚ"), ("out", "ˌaʊt")):
-        if word.startswith(pre) and base(word[len(pre):]):
-            return ph + base(word[len(pre):])
+        stem = word[len(pre):]
+        # the stem must be a plausible word, not an abbreviation entry
+        # ("rest" is not re+st): >=3 letters with a vowel letter
+        if (word.startswith(pre) and len(stem) >= 3
+                and any(c in _V for c in stem) and base(stem)):
+            return ph + base(stem)
+    # closed compounds: both halves are lexicon words (somewhere, weekend);
+    # espeak keeps the first element's stress and strips the second's
+    if len(word) >= 6:
+        for cut in range(3, len(word) - 2):
+            a, b = word[:cut], word[cut:]
+            if (base(a) and base(b)
+                    and any(c in _V for c in a) and any(c in _V for c in b)):
+                return base(a) + _strip_stress(base(b))
     return None
 
 
@@ -445,28 +517,51 @@ def _trim_weak_final(ipa: str) -> str:
     return ipa
 
 
-def word_to_ipa(word: str, spell_acronym: bool = False) -> str:
-    """One (already normalized) word -> espeak-style IPA string."""
+def word_to_ipa(word: str, spell_acronym: bool = False,
+                _no_direct_lookup: bool = False) -> str:
+    """One (already normalized) word -> espeak-style IPA string.
+
+    ``_no_direct_lookup`` disables the word's own lexicon entry (morphology
+    may still use OTHER entries) — the held-out PER harness
+    (tools/g2p_per.py) uses it to measure the true OOV path.
+    """
     lower = word.lower().strip("'")
     if not lower:
         return ""
     lex = _lexicon()
     if spell_acronym or not any(c in _V for c in lower):
-        if lower in lex:
+        if lower in lex and not _no_direct_lookup:
             return lex[lower]
         return "".join(LETTER_NAMES.get(c, "") for c in lower)
-    if lower in lex:
+    if lower in lex and not _no_direct_lookup:
         return lex[lower]
     m = _morph(lower)
     if m:
         return m
-    # suffix-aware LTS: peel one known suffix, LTS the stem
+    # suffix-aware LTS: peel one known suffix, LTS the stem.  Stress-
+    # attracting suffixes (hint set) accept any stem, even vowel-less
+    # (na+tion, so+cial); reduced-vowel suffixes require a real stem —
+    # a consonant-final stem with a vowel — else the word is a
+    # monosyllable where the letters are part of the rime (cage, five).
     for suf, (phones, hint) in _SUFFIX_PHONES.items():
-        if lower.endswith(suf) and len(lower) > len(suf) + 2:
-            stem = lower[: -len(suf)]
-            segs = _lts_segments(stem) + list(phones)
-            segs = _assign_stress(segs, nucleus_from_end=hint)
-            return "".join(_flap(segs))
+        if not lower.endswith(suf) or len(lower) < len(suf) + 1:
+            continue
+        stem = lower[: -len(suf)]
+        if hint is None and not (
+            len(stem) >= 2 and stem[-1] in _C and any(c in _V for c in stem)
+        ):
+            continue
+        if stem and stem[-1] in "aeiouy" and len(stem) <= 3:
+            # short vowel-final stem = open syllable before the suffix:
+            # the vowel reads long (so+cial, re+gion)
+            long_v = {"a": "eɪ", "e": "iː", "i": "aɪ", "o": "oʊ",
+                      "u": "uː", "y": "aɪ"}[stem[-1]]
+            segs = _lts_segments(stem[:-1], ensure_nucleus=False) + [long_v]
+        else:
+            segs = _lts_segments(stem, ensure_nucleus=False)
+        segs = segs + list(phones)
+        segs = _assign_stress(segs, nucleus_from_end=hint)
+        return "".join(_flap(segs))
     segs = _assign_stress(_lts_segments(lower))
     return "".join(_flap(segs))
 
