@@ -37,7 +37,8 @@ from zipvoice_tpu.frontend.en_g2p import (  # noqa: E402
 # Every segment the engine or lexicon can emit, longest-first for maximal
 # munch.  Affricates and long vowels must win over their prefixes.
 _CONS = set("pbtdkɡfvθðszʃʒhmnŋlɹjwɾʔ") | {"tʃ", "dʒ"}
-_SEGMENTS = sorted(VOWELS | _CONS, key=len, reverse=True)
+# espeak en-us writes a bare ɔ before ŋ (long -> lˈɔŋ)
+_SEGMENTS = sorted(VOWELS | _CONS | {"ɔ"}, key=len, reverse=True)
 _STRESS = {"ˈ", "ˌ"}
 
 
@@ -64,7 +65,7 @@ def segment_ipa(ipa: str):
         for s in _SEGMENTS:
             if ipa.startswith(s, i):
                 segs.append(s)
-                if s in VOWELS:
+                if s in VOWELS or s == "ɔ":
                     if stress_next and stressed_nucleus is None:
                         stressed_nucleus = nucleus_count
                     nucleus_count += 1

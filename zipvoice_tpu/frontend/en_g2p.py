@@ -97,15 +97,21 @@ _R = [
     ("eigh", "", "", ("eɪ",)),
     ("augh", "", "$", ("æ", "f")),  # laugh
     ("augh", "", "", ("ɔː",)),
-    ("ough", "", "$", ("oʊ",)),
+    ("ough", "c", "$", ("ɔː", "f")),  # cough
+    ("ough", "([rt]|en)", "$", ("ʌ", "f")),  # rough, tough, enough
+    ("ough", "", "$", ("oʊ",)),  # though, dough
     ("ough", "", "", ("ʌ", "f")),
     ("igh", "", "", ("aɪ",)),
     # --- consonant digraphs ------------------------------------------------
     ("thm", "", "$", ("θ", "ə", "m")),
     ("rh", "^", "", ("ɹ",)),
+    ("ps", "^", "", ("s",)),  # psychology
+    ("gue", "", "$", ("ɡ",)),  # tongue, dialogue
+    ("que", "", "$", ("k",)),  # unique, technique
     ("tch", "", "", ("tʃ",)),
     ("dge", "", "", ("dʒ",)),
     ("ck", "", "", ("k",)),
+    ("ch", "", f"[{_C}]", ("k",)),  # techn-, chrome, christ
     ("ch", "", "", ("tʃ",)),
     ("sh", "", "", ("ʃ",)),
     # th is voiced between vowel letters and in -ther (mother, either)
@@ -124,6 +130,8 @@ _R = [
     ("gn", "", "$", ("n",)),
     ("mb", "", "$", ("m",)),
     ("qu", "", "", ("k", "w")),
+    ("ongue", "", "$", ("ʌ", "ŋ")),  # tongue
+    ("ngue", "", "$", ("ŋ",)),
     ("ng", "", "$", ("ŋ",)),
     ("ng", "", f"[{_C}]", ("ŋ",)),
     ("ng", "", "[ei]", ("n", "dʒ")),
@@ -183,6 +191,8 @@ _R = [
     ("v", "", "", ("v",)),
     ("w", "", "", ("w",)),
     ("x", "^", "", ("z",)),
+    ("xc", "", "[eiy]", ("k", "s")),  # excite
+    ("x", "e", f"[{_V}]", ("ɡ", "z")),  # exact, example
     ("x", "", "", ("k", "s")),
     ("z", "", "", ("z",)),
     # --- vowel digraphs ------------------------------------------------------
@@ -200,7 +210,14 @@ _R = [
     ("oor", "", "", ("ɔː", "ɹ")),
     ("our", "", "$", ("aʊ", "ɚ")),
     ("our", "", "", ("ɔː", "ɹ")),
+    ("ure", "([pckmb])", "s?$", ("j", "ʊ", "ɹ")),  # pure, cure, secure
     ("ure", "", "$", ("ɚ",)),  # (failure-type; 'ture' handled above)
+    ("ier", f"[{_V}].*[{_C}]", "s?$", ("i", "ɚ")),  # barrier, carrier
+    ("ior", f"[{_V}].*[{_C}]", "s?$", ("i", "ɚ")),  # senior, behavior
+    ("alm", "", "$", ("ɑː", "m")),  # calm, palm
+    ("olk", "", "$", ("oʊ", "k")),  # folk, yolk
+    ("ange", f"^[{_C}]*", "$", ("eɪ", "n", "dʒ")),  # change, strange
+    ("arr", "", f"[{_V}]", ("æ", "ɹ")),  # carry, arrow (not ɑːɹ+ɹ)
     ("ai", "", "", ("eɪ",)),
     ("ay", "", "", ("eɪ",)),
     ("au", "", "", ("ɔː",)),
@@ -253,6 +270,7 @@ _R = [
     ("a", "", f"[{_C}]e[sd]?$", ("eɪ",)),
     ("u", "[bcfghkmpv]", f"[{_C}]e([sd]|r|rs)?$", ("j", "uː")),  # cube, fume
     ("u", "^", f"[{_C}]e([sd]|r|rs)?$", ("j", "uː")),  # use, user, used
+    ("u", "^", f"[{_C}][{_V}]", ("j", "uː")),  # unique, union
     ("i", "", f"[{_C}]e[sd]?$", ("aɪ",)),
     ("o", "", f"[{_C}]e[sd]?$", ("oʊ",)),
     ("u", "", f"[{_C}]e([sd]|r|rs)?$", ("uː",)),
@@ -285,6 +303,7 @@ _SUFFIX_PHONES = {
     "ation": (("eɪ", "ʃ", "ə", "n"), 2),
     "ition": (("ɪ", "ʃ", "ə", "n"), 2),
     "tion": (("ʃ", "ə", "n"), 2),
+    "ssion": (("ʃ", "ə", "n"), 2),
     "sion": (("ʒ", "ə", "n"), 2),
     "gion": (("dʒ", "ə", "n"), 2),
     "iage": (("ɪ", "dʒ"), None),
@@ -305,6 +324,7 @@ _SUFFIX_PHONES = {
     "ial": (("i", "ə", "l"), 2),
     "able": (("ə", "b", "ə", "l"), None),
     "ible": (("ɪ", "b", "ə", "l"), None),
+    "ique": (("iː", "k"), 1),
     "ity": (("ɪ", "ɾ", "i"), 3),
     "ism": (("ɪ", "z", "ə", "m"), None),
     "ize": (("aɪ", "z"), None),
@@ -491,10 +511,12 @@ def _morph(word: str) -> Optional[str]:
         if (word.startswith(pre) and len(stem) >= 3
                 and any(c in _V for c in stem) and base(stem)):
             return ph + base(stem)
-    # closed compounds: both halves are lexicon words (somewhere, weekend);
-    # espeak keeps the first element's stress and strips the second's
-    if len(word) >= 6:
-        for cut in range(3, len(word) - 2):
+    # closed compounds: both halves are lexicon words (somewhere, headache);
+    # espeak keeps the first element's stress and strips the second's.
+    # Halves must be >=3/>=4 letters — shorter second halves produce false
+    # splits (summary != sum+mary) far more often than real compounds.
+    if len(word) >= 7:
+        for cut in range(3, len(word) - 3):
             a, b = word[:cut], word[cut:]
             if (base(a) and base(b)
                     and any(c in _V for c in a) and any(c in _V for c in b)):
@@ -552,11 +574,17 @@ def word_to_ipa(word: str, spell_acronym: bool = False,
         ):
             continue
         if stem and stem[-1] in "aeiouy" and len(stem) <= 3:
-            # short vowel-final stem = open syllable before the suffix:
-            # the vowel reads long (so+cial, re+gion)
-            long_v = {"a": "eɪ", "e": "iː", "i": "aɪ", "o": "oʊ",
-                      "u": "uː", "y": "aɪ"}[stem[-1]]
-            segs = _lts_segments(stem[:-1], ensure_nucleus=False) + [long_v]
+            # short vowel-final stem: open syllable before a single-onset
+            # suffix reads long (so+cial, na+tion); a double-consonant
+            # suffix closes the syllable and the vowel reads short
+            # (mi+ssion, se+ssion)
+            if len(suf) >= 2 and suf[0] == suf[1]:
+                v = {"a": "æ", "e": "ɛ", "i": "ɪ", "o": "ɑː",
+                     "u": "ʌ", "y": "ɪ"}[stem[-1]]
+            else:
+                v = {"a": "eɪ", "e": "iː", "i": "aɪ", "o": "oʊ",
+                     "u": "uː", "y": "aɪ"}[stem[-1]]
+            segs = _lts_segments(stem[:-1], ensure_nucleus=False) + [v]
         else:
             segs = _lts_segments(stem, ensure_nucleus=False)
         segs = segs + list(phones)
