@@ -239,12 +239,33 @@ class PinyinLexicon:
             for line in _SEED_WORDS.strip().splitlines():
                 parts = line.split()
                 self._add(parts[0], parts[1:])
+            self._load_words()
             self._load_groups()
         lexicon_file = lexicon_file or os.environ.get(
             "ZIPVOICE_PINYIN_LEXICON"
         )
         if lexicon_file:
             self.load_file(lexicon_file)
+
+    def _load_words(self):
+        """Load the bundled multi-character word table
+        (data/zh_words.txt: 'word py1 py2 ...' lines).  These entries are
+        what gives segmentation jieba-like polyphone disambiguation
+        (行/长/重/得/地/... read by word context, reference
+        tokenizer.py:324-367).  The inline seed wins on conflicts."""
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "zh_words.txt"
+        )
+        if not os.path.exists(path):
+            return
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                if len(parts) == len(parts[0]) + 1 and parts[0] not in self.table:
+                    self._add(parts[0], parts[1:])
 
     def _load_groups(self):
         """Load the bundled grouped reading table
