@@ -424,6 +424,25 @@ class InferencePipeline:
         self, batch_tokens, prompt_tokens, prompt_features,
         num_step, guidance_scale, speed, t_shift,
     ):
+        x1_wo, wo_lens, B_real = self._sample_batch_device(
+            batch_tokens, prompt_tokens, prompt_features,
+            num_step=num_step, guidance_scale=guidance_scale,
+            speed=speed, t_shift=t_shift,
+        )
+        feats = np.asarray(x1_wo)[:B_real] / self.feat_scale
+        lens = np.asarray(wo_lens)[:B_real]
+        return feats, lens
+
+    def _sample_batch_device(
+        self, batch_tokens, prompt_tokens, prompt_features,
+        num_step, guidance_scale, speed, t_shift,
+    ):
+        """Dispatch one sample micro-batch and return DEVICE arrays
+        without blocking on the result.  JAX dispatch is async, so a
+        pipelined server can overlap this batch's device time with the
+        previous batch's host-side vocode/trim/reply work (the Triton
+        decoupled-pipeline analog, reference
+        runtime/nvidia_triton/README.md:146-157)."""
         B_real = len(batch_tokens)
         B = bucket_length(B_real, BATCH_BUCKETS)
         cat_tokens = [prompt_tokens + t for t in batch_tokens]
@@ -500,9 +519,7 @@ class InferencePipeline:
                 jnp.asarray(ptl), jnp.asarray(pf), jnp.asarray(pfl),
                 jnp.asarray(fl), jnp.asarray(noise),
             )
-        feats = np.asarray(x1_wo)[:B_real] / self.feat_scale
-        lens = np.asarray(wo_lens)[:B_real]
-        return feats, lens
+        return x1_wo, wo_lens, B_real
 
     def _vocode_chunks(self, feats: List[np.ndarray]) -> List[np.ndarray]:
         """Batch-vocode variable-length mel chunks with frame bucketing."""
