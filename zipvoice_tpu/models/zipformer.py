@@ -1010,6 +1010,25 @@ class EncoderStack(nn.Module):
 
         src_orig = src
         B, T, C = src.shape
+        if key_padding_mask is not None:
+            # Bucketed inference pads T beyond the batch's real extent;
+            # the reference runs at exactly max(features_lens) and
+            # SimpleDownsample right-pads by repeating the LAST frame
+            # (reference :897-901).  Replicate that semantic: frames
+            # beyond the batch-max valid length read the frame at that
+            # boundary, so downsample groups average the same values as
+            # the reference's repeat-padded exact-length run (mel parity
+            # through the bucketed pipeline, tests/test_goldens_rehearsal
+            # .py).  Rows shorter than the batch max keep their own pad
+            # values inside [fl_b, max_fl) — exactly the reference's
+            # ragged-batch behavior (parity tests pin it).
+            valid_max = jnp.max(jnp.sum(
+                (~key_padding_mask).astype(jnp.int32), axis=1
+            ))
+            idx = jnp.minimum(
+                jnp.arange(T), jnp.maximum(valid_max - 1, 0)
+            )
+            src = jnp.take(src, idx, axis=1)
         d_seq_len = (T + ds - 1) // ds
         pad = d_seq_len * ds - T
         if pad > 0:
