@@ -136,12 +136,29 @@ class TTSEngine:
                     batch.append(self.q.get(timeout=timeout))
                 except queue.Empty:
                     break
-            # group by (speaker, speed): same prompt features batch
-            # together; dispatch each group's sample program async
+            # group by (speaker, speed, predicted frame bucket): same
+            # prompt features batch together, and length-aware grouping
+            # keeps short requests out of long requests' padded batches —
+            # mixed-length micro-batches pad every row to the longest
+            # row's bucket (wasted compute) and mint new (B,S,T) shape
+            # combinations (compile stalls); grouping by the duration
+            # prediction's frame bucket removes both
+            from zipvoice_tpu.frontend.batch import bucket_length
+            from zipvoice_tpu.infer.pipeline import FRAME_BUCKETS
+
             by_spk: Dict[tuple, List] = {}
             for item in batch:
-                by_spk.setdefault((id(item[0]), item[3]), []).append(item)
-            for (_, speed), items in by_spk.items():
+                entry, tokens, _, speed = item
+                pfl = entry["features"].shape[0]
+                ptl = max(len(entry["tokens"]), 1)
+                fl = pfl + int(np.ceil(
+                    pfl / ptl * len(tokens) / max(speed, 1e-6)
+                ))
+                tb = bucket_length(
+                    min(fl, FRAME_BUCKETS[-1]), FRAME_BUCKETS
+                )
+                by_spk.setdefault((id(entry), speed, tb), []).append(item)
+            for (_, speed, _), items in by_spk.items():
                 entry = items[0][0]
                 tokens_list = [tokens for _, tokens, _, _ in items]
                 try:
