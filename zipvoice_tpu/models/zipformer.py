@@ -50,10 +50,16 @@ def _stochastic(module: nn.Module, prob: float, fn, x):
     """Apply a backward-only (identity-forward) regularizer with
     probability ``prob``, like the reference's per-call random gating
     (e.g. scaling.py:655-657, zipformer.py:1254).  The forward value is
-    unchanged either way; jnp.where routes the cotangent through the
-    regularized path only when the coin lands.  Uses the 'reg' rng."""
+    unchanged either way.
+
+    lax.cond (not jnp.where) so the regularizer's BACKWARD runs only when
+    the coin lands: where evaluates both cotangent branches, paying the
+    balancer/whiten stats passes at 100% duty cycle for transforms the
+    reference fires 4-25% of the time — measured 93 ms of backward in the
+    123M step before this change (PERF.md round 4).  Uses the 'reg' rng.
+    """
     apply = jax.random.bernoulli(module.make_rng("reg"), prob)
-    return jnp.where(apply, fn(x), x)
+    return jax.lax.cond(apply, fn, lambda v: v, x)
 
 
 def _rand_uniform(rng, shape):

@@ -41,7 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 # U-Net level (T=1280: 20.5 ms vs quadratic-predicted 9 ms; T<=640 is fine),
 # and each kernel shape costs a long Mosaic compile over this environment's
 # relay — so the default only kernels the top level.
-MIN_SEQ_LEN = 1024
+# Env-overridable: the TRAINING backward is a different tradeoff — the
+# XLA custom-VJP backward materializes a (B, h, T, 3T-2) f32 unskew
+# intermediate per layer (~160 MB at B=8, T=640), so kerneling the
+# mid levels can pay off for train even where inference prefers XLA.
+MIN_SEQ_LEN = int(os.environ.get("ZIPVOICE_PALLAS_MIN_SEQ", "1024"))
 
 # Independent toggles for the two application-side kernels (A/B-able via
 # env without code edits; the weights kernel itself is governed by the
