@@ -189,16 +189,6 @@ def build_model(args, tokenizer, dtype):
     extra = {}
     if args.model_name.startswith("zipvoice_dialog"):
         extra = dict(spk_a_id=tokenizer.spk_a_id, spk_b_id=tokenizer.spk_b_id)
-    if getattr(args, "use_pallas_attention", False):
-        # training-optimal kernel threshold: the XLA attention BACKWARD
-        # at the T=640 U-Net levels materializes ~160 MB f32 unskew
-        # intermediates per layer; kerneling those levels measured
-        # 114.4 -> 109.8 ms fwd+bwd on the 123M step (PERF.md round 4).
-        # Inference keeps the 1024 default (XLA forward wins at <=640).
-        os.environ.setdefault("ZIPVOICE_PALLAS_MIN_SEQ", "640")
-        from zipvoice_tpu.ops import pallas_attention as _pa
-
-        _pa.MIN_SEQ_LEN = int(os.environ["ZIPVOICE_PALLAS_MIN_SEQ"])
     model = cls(
         **cfg, vocab_size=tokenizer.vocab_size, pad_id=tokenizer.pad_id,
         dtype=dtype,

@@ -36,16 +36,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Policy knob: with use_pallas on, only sequence lengths >= MIN_SEQ_LEN take
-# the kernel path (shorter levels fall back to the XLA skew path).  On-chip
-# profiling (PERF.md) shows the XLA path is only pathological at the top
-# U-Net level (T=1280: 20.5 ms vs quadratic-predicted 9 ms; T<=640 is fine),
-# and each kernel shape costs a long Mosaic compile over this environment's
-# relay — so the default only kernels the top level.
-# Env-overridable: the TRAINING backward is a different tradeoff — the
-# XLA custom-VJP backward materializes a (B, h, T, 3T-2) f32 unskew
-# intermediate per layer (~160 MB at B=8, T=640), so kerneling the
-# mid levels can pay off for train even where inference prefers XLA.
-MIN_SEQ_LEN = int(os.environ.get("ZIPVOICE_PALLAS_MIN_SEQ", "1024"))
+# the kernel path (shorter levels fall back to the XLA skew path).
+# Env-overridable.  Default 640: round-4 on-chip A/Bs overturned the
+# round-3 "XLA is fine below 1024" policy — kerneling the U-Net levels
+# down to T=640 measured (PERF.md round 4):
+#   headline T=1280 bucket: RTF 0.01083 -> 0.00897 (the 640 mid level)
+#   T=1536 bucket:          RTF 0.01684 -> 0.00908 (the 768 mid level)
+#   123M train fwd+bwd:     114.4 -> 109.8 ms (the f32 unskew backward)
+# The standalone round-1 kernel-vs-XLA deltas at T=640 (~0.1 ms) badly
+# underpredicted the in-context win: the XLA skew path's (B,h,T,2T-1)
+# intermediates contend for HBM with the rest of the layer.  T<=320
+# levels stay XLA (kernel call overhead ~2 ms loses at 0.14 ms of work).
+MIN_SEQ_LEN = int(os.environ.get("ZIPVOICE_PALLAS_MIN_SEQ", "640"))
 
 # Independent toggles for the two application-side kernels (A/B-able via
 # env without code edits; the weights kernel itself is governed by the
