@@ -219,3 +219,105 @@ def test_server_warmup_batches_round_to_buckets():
         b for b in BATCH_BUCKETS if b <= max_batch
     } | {bucket_length(max_batch, BATCH_BUCKETS)})
     assert batches == [1, 2, 4, 8]
+
+
+def test_heterogeneous_prompt_batch(tiny_model_dir):
+    """Per-row prompts: a mixed-speaker micro-batch must produce, row for
+    row, the same features as homogeneous batches of each speaker (the
+    reference Triton backend pads per-request prompts into one batch,
+    runtime/nvidia_triton/model_repo/zipvoice/1/model.py:94-167; rows are
+    independent programs, so batching across speakers is lossless)."""
+    from zipvoice_tpu.infer.pipeline import InferencePipeline
+    from zipvoice_tpu.utils.checkpoint_io import load_model_dir, load_vocos
+
+    model, params, tokenizer = load_model_dir(str(tiny_model_dir), "zipvoice")
+    vocoder, vp = load_vocos(None)
+    pipe = InferencePipeline(model, params, vocoder, vp, tokenizer)
+
+    rs = np.random.RandomState(7)
+    tok_a = tokenizer.texts_to_token_ids(["speaker a prompt."])[0]
+    tok_b = tokenizer.texts_to_token_ids(["b prompt, longer text!"])[0]
+    feat_a = (rs.randn(24, model.feat_dim) * 0.1).astype(np.float32)
+    feat_b = (rs.randn(32, model.feat_dim) * 0.1).astype(np.float32)
+    text_a = tokenizer.texts_to_token_ids(["first sentence."])[0]
+    text_b = tokenizer.texts_to_token_ids(["second one."])[0]
+
+    def run(batch_tokens, prompt_tokens, prompt_feats, speed=1.0):
+        pipe.rng = np.random.RandomState(0)  # identical noise per call
+        return pipe._sample_batch(
+            batch_tokens, prompt_tokens, prompt_feats,
+            num_step=2, guidance_scale=1.0, speed=speed, t_shift=0.5,
+        )
+
+    hetero_f, hetero_l = run(
+        [text_a, text_b], [tok_a, tok_b], [feat_a, feat_b],
+        speed=[1.0, 1.0],
+    )
+    homo_a_f, homo_a_l = run([text_a, text_a], tok_a, feat_a)
+    homo_b_f, homo_b_l = run([text_b, text_b], tok_b, feat_b)
+    # same (B, S, T) bucket for all three calls -> identical noise draws,
+    # and rows are independent, so the mixed batch matches row-for-row
+    assert hetero_f.shape == homo_a_f.shape == homo_b_f.shape
+    assert hetero_l[0] == homo_a_l[0]
+    assert hetero_l[1] == homo_b_l[1]
+    np.testing.assert_allclose(
+        hetero_f[0, : hetero_l[0]], homo_a_f[0, : homo_a_l[0]],
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        hetero_f[1, : hetero_l[1]], homo_b_f[1, : homo_b_l[1]],
+        rtol=0, atol=1e-5,
+    )
+    # per-row speed changes only that row's predicted length
+    fast_f, fast_l = run(
+        [text_a, text_b], [tok_a, tok_b], [feat_a, feat_b],
+        speed=[1.0, 2.0],
+    )
+    assert fast_l[0] == hetero_l[0]
+    assert fast_l[1] < hetero_l[1]
+
+
+def test_server_batches_across_speakers(tiny_model_dir):
+    """The engine must put concurrent requests from DIFFERENT speakers in
+    ONE micro-batch (round-4 served them as per-speaker singletons)."""
+    from zipvoice_tpu.infer.pipeline import InferencePipeline
+    from zipvoice_tpu.serving.server import TTSEngine
+    from zipvoice_tpu.utils.checkpoint_io import load_model_dir, load_vocos
+
+    model, params, tokenizer = load_model_dir(str(tiny_model_dir), "zipvoice")
+    vocoder, vp = load_vocos(None)
+    pipeline = InferencePipeline(model, params, vocoder, vp, tokenizer)
+
+    calls = []
+    orig = pipeline._sample_batch_device
+
+    def spy(batch_tokens, prompt_tokens, prompt_feats, **kw):
+        calls.append((len(batch_tokens), prompt_tokens))
+        return orig(batch_tokens, prompt_tokens, prompt_feats, **kw)
+
+    pipeline._sample_batch_device = spy
+    engine = TTSEngine(pipeline, max_batch=4, batch_window_ms=2000.0,
+                       num_step=2, guidance_scale=1.0)
+    rs = np.random.RandomState(3)
+    entry_a = {
+        "tokens": tokenizer.texts_to_token_ids(["voice a."])[0],
+        "features": (rs.randn(24, model.feat_dim) * 0.1).astype(np.float32),
+        "prompt_rms": 0.15,
+    }
+    entry_b = {
+        "tokens": tokenizer.texts_to_token_ids(["voice b here."])[0],
+        "features": (rs.randn(32, model.feat_dim) * 0.1).astype(np.float32),
+        "prompt_rms": 0.15,
+    }
+    d1 = engine.submit(entry_a, "short text one.")
+    d2 = engine.submit(entry_b, "short text two.")
+    s1, wav1 = d1.get(timeout=600)
+    s2, wav2 = d2.get(timeout=600)
+    assert s1 == "ok" and s2 == "ok"
+    assert len(wav1) > 0 and len(wav2) > 0
+    # both speakers landed in one dispatch with per-row prompts
+    assert len(calls) == 1, calls
+    n_rows, ptoks = calls[0]
+    assert n_rows == 2
+    assert isinstance(ptoks, list) and isinstance(ptoks[0], list)
+    assert ptoks[0] != ptoks[1]

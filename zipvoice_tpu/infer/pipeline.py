@@ -442,10 +442,40 @@ class InferencePipeline:
         pipelined server can overlap this batch's device time with the
         previous batch's host-side vocode/trim/reply work (the Triton
         decoupled-pipeline analog, reference
-        runtime/nvidia_triton/README.md:146-157)."""
+        runtime/nvidia_triton/README.md:146-157).
+
+        Heterogeneous prompts: ``prompt_tokens`` may be one token list
+        shared by the whole batch, or a per-row list of token lists;
+        ``prompt_features`` one (T, F) array or a per-row list of (Ti, F)
+        arrays; ``speed`` a scalar or per-row sequence.  The device
+        programs are already per-row (the model's ``sample`` takes
+        (B,) prompt_tokens_lens / prompt_features_lens,
+        models/zipvoice.py:221-257), so concurrent requests from
+        DIFFERENT speakers share one micro-batch — the reference Triton
+        backend's per-request prompt padding (reference
+        runtime/nvidia_triton/model_repo/zipvoice/1/model.py:94-167)."""
         B_real = len(batch_tokens)
         B = bucket_length(B_real, BATCH_BUCKETS)
-        cat_tokens = [prompt_tokens + t for t in batch_tokens]
+        # normalize to per-row prompts (broadcast the single-prompt API)
+        if prompt_tokens and isinstance(prompt_tokens[0], (list, tuple)):
+            prompt_tokens_rows = [list(t) for t in prompt_tokens]
+        else:
+            prompt_tokens_rows = [list(prompt_tokens)] * B_real
+        if isinstance(prompt_features, (list, tuple)):
+            prompt_feat_rows = list(prompt_features)
+        else:
+            prompt_feat_rows = [prompt_features] * B_real
+        assert len(prompt_tokens_rows) == B_real, (
+            len(prompt_tokens_rows), B_real)
+        assert len(prompt_feat_rows) == B_real, (
+            len(prompt_feat_rows), B_real)
+        speed_rows = (
+            np.asarray(speed, np.float32)
+            if np.ndim(speed) else np.full((B_real,), speed, np.float32)
+        )
+        cat_tokens = [
+            p + t for p, t in zip(prompt_tokens_rows, batch_tokens)
+        ]
         # pad batch dim by repeating the first row (masked out later)
         cat_tokens += [cat_tokens[0]] * (B - B_real)
         S = bucket_length(
@@ -454,18 +484,28 @@ class InferencePipeline:
         tok, tok_lens = pad_tokens(
             cat_tokens, pad_id=self.model.pad_id, pad_to=S
         )
-        ptl = np.full((B,), len(prompt_tokens), np.int32)
-        pfl_scalar = prompt_features.shape[0]
-        pfl = np.full((B,), pfl_scalar, np.int32)
-        text_lens = np.array(
-            [len(t) for t in batch_tokens]
-            + [len(batch_tokens[0])] * (B - B_real),
-            np.int32,
+
+        def _pad_row(arr, n):
+            if n == len(arr):
+                return arr
+            return np.concatenate(
+                [arr, np.full(n - len(arr), arr[0], arr.dtype)]
+            )
+
+        ptl = _pad_row(
+            np.array([len(p) for p in prompt_tokens_rows], np.int32), B
         )
+        pfl = _pad_row(
+            np.array([f.shape[0] for f in prompt_feat_rows], np.int32), B
+        )
+        text_lens = _pad_row(
+            np.array([len(t) for t in batch_tokens], np.int32), B
+        )
+        speed_b = _pad_row(speed_rows, B)
         # duration prediction (reference zipvoice.py:323-325), float32 math
         fl = pfl + np.ceil(
             pfl.astype(np.float32) / ptl.astype(np.float32)
-            * text_lens.astype(np.float32) / speed
+            * text_lens.astype(np.float32) / speed_b
         ).astype(np.int32)
         if int(fl.max()) > FRAME_BUCKETS[-1]:
             # an over-long request (or a prompt with an extreme
@@ -478,11 +518,15 @@ class InferencePipeline:
             )
             fl = np.minimum(fl, FRAME_BUCKETS[-1])
         T = bucket_length(int(fl.max()), FRAME_BUCKETS)
-        pf = np.zeros((B, T, prompt_features.shape[1]), np.float32)
-        pf[:, :pfl_scalar] = prompt_features[None]
-        noise = self.rng.randn(B, T, prompt_features.shape[1]).astype(
-            np.float32
-        )
+        F = prompt_feat_rows[0].shape[1]
+        pfl = np.minimum(pfl, T)
+        pf = np.zeros((B, T, F), np.float32)
+        for i in range(B):
+            # pad rows (i >= B_real) repeat row 0, matching _pad_row above
+            row = prompt_feat_rows[i if i < B_real else 0]
+            n = min(row.shape[0], T)
+            pf[i, :n] = row[:n]
+        noise = self.rng.randn(B, T, F).astype(np.float32)
 
         if not hasattr(self, "_seen_buckets"):
             self._seen_buckets = set()

@@ -136,37 +136,51 @@ class TTSEngine:
                     batch.append(self.q.get(timeout=timeout))
                 except queue.Empty:
                     break
-            # group by (speaker, speed, predicted frame bucket): same
-            # prompt features batch together, and length-aware grouping
-            # keeps short requests out of long requests' padded batches —
+            # group by predicted frame bucket ONLY: the pipeline packs
+            # per-row prompts/speeds into one micro-batch (reference
+            # Triton backend pads per-request prompts into a shared
+            # batch, runtime/nvidia_triton/model_repo/zipvoice/1/
+            # model.py:94-167), so concurrent requests from DIFFERENT
+            # speakers batch together.  Length-aware grouping stays:
             # mixed-length micro-batches pad every row to the longest
             # row's bucket (wasted compute) and mint new (B,S,T) shape
             # combinations (compile stalls); grouping by the duration
-            # prediction's frame bucket removes both
-            from zipvoice_tpu.frontend.batch import bucket_length
-            from zipvoice_tpu.infer.pipeline import FRAME_BUCKETS
+            # prediction's frame bucket removes both.
+            try:
+                from zipvoice_tpu.frontend.batch import bucket_length
+                from zipvoice_tpu.infer.pipeline import FRAME_BUCKETS
 
-            by_spk: Dict[tuple, List] = {}
-            for item in batch:
-                entry, tokens, _, speed = item
-                pfl = entry["features"].shape[0]
-                ptl = max(len(entry["tokens"]), 1)
-                fl = pfl + int(np.ceil(
-                    pfl / ptl * len(tokens) / max(speed, 1e-6)
-                ))
-                tb = bucket_length(
-                    min(fl, FRAME_BUCKETS[-1]), FRAME_BUCKETS
-                )
-                by_spk.setdefault((id(entry), speed, tb), []).append(item)
-            for (_, speed, _), items in by_spk.items():
-                entry = items[0][0]
+                by_bucket: Dict[int, List] = {}
+                for item in batch:
+                    entry, tokens, _, speed = item
+                    pfl = entry["features"].shape[0]
+                    ptl = max(len(entry["tokens"]), 1)
+                    fl = pfl + int(np.ceil(
+                        pfl / ptl * len(tokens) / max(speed, 1e-6)
+                    ))
+                    tb = bucket_length(
+                        min(fl, FRAME_BUCKETS[-1]), FRAME_BUCKETS
+                    )
+                    by_bucket.setdefault(tb, []).append(item)
+                groups = list(by_bucket.items())
+            except Exception as e:  # noqa: BLE001
+                # a grouping failure must not kill the sampler thread —
+                # every queued request would hang with no reply
+                logging.exception("batch grouping failed")
+                for _, _, done, _ in batch:
+                    done.put(("error", str(e)))
+                continue
+            for _, items in groups:
                 tokens_list = [tokens for _, tokens, _, _ in items]
+                prompt_tokens = [e["tokens"] for e, _, _, _ in items]
+                prompt_feats = [e["features"] for e, _, _, _ in items]
+                speeds = [s for _, _, _, s in items]
                 try:
                     dev = self.pipeline._sample_batch_device(
-                        tokens_list, entry["tokens"], entry["features"],
+                        tokens_list, prompt_tokens, prompt_feats,
                         num_step=self.num_step,
                         guidance_scale=self.guidance_scale,
-                        speed=speed, t_shift=0.5,
+                        speed=speeds, t_shift=0.5,
                     )
                 except Exception as e:  # noqa: BLE001
                     logging.exception("sample dispatch failed")
