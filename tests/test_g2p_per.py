@@ -54,7 +54,12 @@ def test_morphology_and_rules_spot_checks():
         # inflection voicing + magic-e through -s/-d
         "makes": "mˈeɪks",
         "jones": "dʒˈoʊnz",
-        "used": "jˈuːsd",
+        # -ed devoices after voiceless sibilants (ADVICE r4); espeak says
+        # jˈuːzd for "used" (verb /z/) — that form comes from the lexicon
+        # entry, this pin is the morphology path over base "use" /s/
+        "used": "jˈuːst",
+        "missed": "mˈɪst",
+        "wished": "wˈɪʃt",
         # suffix peeling with open/closed syllable stems
         "nation": "nˈeɪʃən",
         "social": "sˈoʊʃəl",

@@ -184,18 +184,41 @@ def test_frame_bucket_hygiene():
     """Every inference/dataset frame bucket is sublane-aligned (T % 8 == 0,
     the pallas kernel's _row_tile requirement) and the kernel-eligible
     levels (T >= MIN_SEQ_LEN) take the efficient 128-row tile; the compile
-    surface (distinct kernel shapes) stays bounded."""
+    surface (distinct Mosaic kernel shapes) stays bounded.
+
+    The bound is on the TRUE compile surface — the union of per-level
+    sequence lengths the U-Net actually runs kernels at, derived from the
+    fm_decoder's downsampling factors (1, 2, 4, 2, 1 -> levels T, T/2,
+    T/4; models/zipvoice.py:34) — not a bucket-count proxy: pruning the
+    768 bucket would NOT remove the 768-frame Mosaic shape (the 1536 and
+    3072 buckets mint it at their mid level), while the 2048/2560/3072
+    tops each mint a unique shape.  Measured cost per fresh shape is
+    30-60 s of one-time warmup through the relay, amortized by the
+    persistent compile cache + AOT engine export (PERF.md round-5
+    compile-surface table); 8 shapes is the deliberate budget for the
+    MIN_SEQ=640 policy (matches TRT optimization-profile discipline,
+    reference zipvoice/bin/tensorrt_export.py:112-133)."""
     from zipvoice_tpu.data import dataset as ds
     from zipvoice_tpu.infer import pipeline as pl
+    from zipvoice_tpu.models.zipvoice import ZipVoice
     from zipvoice_tpu.ops.pallas_attention import MIN_SEQ_LEN, _row_tile
 
     for T in pl.FRAME_BUCKETS + ds.FRAME_BUCKETS:
         assert T % 8 == 0, T
         assert _row_tile(T) >= 8
-    kernel_levels = [T for T in pl.FRAME_BUCKETS if T >= MIN_SEQ_LEN]
-    assert kernel_levels, "no kernel-eligible bucket"
-    for T in kernel_levels:
+    ds_factors = sorted(set(
+        ZipVoice.fm_decoder_downsampling_factor
+    ))  # (1, 2, 4)
+    kernel_shapes = sorted({
+        T // d
+        for T in pl.FRAME_BUCKETS
+        for d in ds_factors
+        if T // d >= MIN_SEQ_LEN and (T // d) % 8 == 0
+    })
+    assert kernel_shapes, "no kernel-eligible level"
+    for T in kernel_shapes:
         assert _row_tile(T) >= 128, (T, _row_tile(T))
-    # each kernel shape costs a long Mosaic compile over the relay — keep
-    # the ladder small
-    assert len(kernel_levels) <= 6, kernel_levels
+    # each fresh kernel shape costs a long Mosaic compile over the relay
+    # (~30-60 s warmup, PERF.md): keep the total surface bounded
+    assert len(kernel_shapes) <= 8, kernel_shapes
+    assert kernel_shapes == [640, 768, 1024, 1280, 1536, 2048, 2560, 3072]

