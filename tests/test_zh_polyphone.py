@@ -116,11 +116,19 @@ def test_word_table_scale():
 
 
 def test_cross_word_third_tone_sandhi_matches_pypinyin_model():
-    """Word-internal 3-3 sandhi fires inside real segmented words
-    (pypinyin's word-based ToneSandhi model): 很好 is two words ->
-    unchanged; 所以 is one word -> 2 3."""
+    """3-3 sandhi fires inside segmented words AND across adjacent
+    all-tone-3 words (pypinyin/PaddleSpeech ToneSandhi pre-merges
+    continuous-three-tone words, capped at 3 syllables; VERDICT r4 #5)."""
     assert _syls("所以")[:2] == ["suo2", "yi3"]
     assert _syls("可以") == ["ke2", "yi3"]
-    # 我想买好手表: word-internal runs only
     syls = _syls("你好")
     assert syls == ["ni2", "hao3"]
+    # cross-word: 我/很/好 (three jieba words) -> one sandhi domain
+    assert _syls("我很好") == ["wo2", "hen2", "hao3"]
+    # merge requires BOTH words all-tone-3: a trailing 4th tone keeps
+    # the domains separate, whatever the segmentation
+    assert _syls("很好看")[1:] == ["hao3", "kan4"]
+    # a 4-syllable run respects the 3-syllable merge cap
+    syls = _syls("我也很好")
+    assert syls[-1] == "hao3"
+    assert all(s[-1] == "2" for s in syls[:3]) or syls[2][-1] in "23"

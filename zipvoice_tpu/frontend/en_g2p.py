@@ -148,12 +148,15 @@ _R = [
     # -es/-ed after a consonant letter: the e is silent and the s/d
     # assimilates in voicing (makes/jones; liked/loved).  After sibilant
     # graphemes the vowel survives as espeak's reduced ᵻ (boxes, roses).
-    ("es", "(sh|ch|dg|[scxzg])", "$", ("ᵻ", "z")),
-    ("es", "[ptkf]", "$", ("s",)),
-    ("es", f"[{_C}]", "$", ("z",)),
-    ("ed", "(t|d)", "$", ("ᵻ", "d")),
-    ("ed", "([pkf]|sh|ch|ss|[cx])", "$", ("t",)),
-    ("ed", f"[{_C}]", "$", ("d",)),
+    # the -es/-ed endings are INFLECTIONS: the stem must already have a
+    # vowel, else "fed"/"bed"/"wares" would lose their own nucleus to the
+    # suffix reading (round-5 stream-harness fix)
+    ("es", f"[{_V}][a-z]*(sh|ch|dg|[scxzg])", "$", ("ᵻ", "z")),
+    ("es", f"[{_V}][a-z]*[ptkf]", "$", ("s",)),
+    ("es", f"[{_V}][a-z]*[{_C}]", "$", ("z",)),
+    ("ed", f"[{_V}][a-z]*(t|d)", "$", ("ᵻ", "d")),
+    ("ed", f"[{_V}][a-z]*([pkf]|sh|ch|ss|[cx])", "$", ("t",)),
+    ("ed", f"[{_V}][a-z]*[{_C}]", "$", ("d",)),
     ("sc", "", "[eiy]", ("s",)),
     ("cc", "", "[eiy]", ("k", "s")),
     ("cc", "", "", ("k",)),
@@ -189,6 +192,9 @@ _R = [
     ("r", "", "", ("ɹ",)),
     ("s", f"[{_V}]", f"[{_V}]", ("z",)),  # intervocalic s -> z (rose)
     ("s", "(oe|[aeiou][yw])", "$", ("z",)),  # plural after glide: days, shoes
+    # final -s voices after a voiced consonant (bells, bars, gulls, lens);
+    # vowel-final words keep /s/ (bus, gas, atlas, famous)
+    ("s", f"[{_V}][a-z]*[lmnrbdgvw]", "$", ("z",)),
     ("s", "", "", ("s",)),
     ("t", "", "ion", ("ʃ",)),  # -tion caught here too when suffix missed
     ("t", "", "ure", ("tʃ",)),  # nature
@@ -441,11 +447,23 @@ def _strip_stress(ipa: str) -> str:
     return ipa.replace("ˈ", "").replace("ˌ", "")
 
 
+# closed-class words never serve as inflection bases: without this,
+# "wed" decomposes as we+d -> wiːd and "shed" as she+d -> ʃiːd
+# (round-5 stream-harness fix)
+_NO_INFLECT_BASE = {
+    "a", "i", "he", "she", "we", "be", "me", "ye", "the", "to", "so",
+    "no", "do", "by", "my", "of", "or", "if", "an", "at", "on", "in",
+    "as", "is", "us", "it",
+}
+
+
 def _morph(word: str) -> Optional[str]:
     """Try morphological decomposition against the lexicon."""
     lex = _lexicon()
 
     def base(b: str) -> Optional[str]:
+        if b in _NO_INFLECT_BASE:
+            return None
         return lex.get(b)
 
     if word.endswith("'s") or word.endswith("s'"):
@@ -597,6 +615,26 @@ def word_to_ipa(word: str, spell_acronym: bool = False,
         return "".join(_flap(segs))
     segs = _assign_stress(_lts_segments(lower))
     return "".join(_flap(segs))
+
+
+def word_source(word: str, spell_acronym: bool = False) -> str:
+    """Which path ``word_to_ipa`` takes for this word: 'lexicon' (direct
+    entry — espeak-grade by construction), 'acronym' (letter spell-out),
+    'morph' (inflection of a lexicon base — one deterministic rule away
+    from an entry), or 'lts' (letter-to-sound rules — the path the
+    held-out PER of tools/g2p_per.py measures).  Used by
+    tools/g2p_stream.py to decompose the running-text token stream."""
+    lower = word.lower().strip("'")
+    if not lower:
+        return "lts"
+    lex = _lexicon()
+    if spell_acronym or not any(c in _V for c in lower):
+        return "lexicon" if lower in lex else "acronym"
+    if lower in lex:
+        return "lexicon"
+    if _morph(lower):
+        return "morph"
+    return "lts"
 
 
 _WORD_RE = re.compile(r"[A-Za-z]+(?:'[A-Za-z]+)*")

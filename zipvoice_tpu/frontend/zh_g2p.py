@@ -406,7 +406,27 @@ def apply_tone_sandhi(
       syllable).
     - Third-tone sandhi: within a word, 3 3 -> 2 3 (left-to-right over
       runs: all but the last 3 in a run become 2).
+    - Cross-word third tone: adjacent words whose syllables are ALL tone
+      3 are pre-merged into one sandhi domain (pypinyin/PaddleSpeech
+      ToneSandhi _merge_continuous_three_tones; capped at 3 syllables
+      like theirs), so 你/好 -> ni2 hao3 and 我/很/好 -> wo2 hen2 hao3
+      across jieba word boundaries (VERDICT r4 #5).
     """
+    # pre-merge: runs of adjacent all-tone-3 words become one word, so
+    # the word-internal rule below sees the whole run
+    def _all_tone3(r: Optional[List[str]]) -> bool:
+        return bool(r) and all(_tone(s) == "3" for s in r)
+
+    merged: List[Tuple[str, Optional[List[str]]]] = []
+    for word, r in words:
+        if (merged and _all_tone3(r)
+                and _all_tone3(merged[-1][1])
+                and len(merged[-1][1]) + len(r) <= 3):
+            pw, pr = merged[-1]
+            merged[-1] = (pw + word, pr + list(r))
+        else:
+            merged.append((word, list(r) if r is not None else None))
+    words = merged
     # flatten view of syllables with (word_idx, syl_idx) back-pointers
     readings = [list(r) if r is not None else None for _, r in words]
 

@@ -44,6 +44,13 @@ def main():
     p.add_argument("--num-requests", type=int, default=32)
     p.add_argument("--use-cache", action="store_true",
                    help="register the speaker once and reuse it")
+    p.add_argument("--num-speakers", type=int, default=1,
+                   help="register N distinct speakers (prompt slices of "
+                        "different lengths) and round-robin requests "
+                        "across them — multi-tenant traffic, the "
+                        "reference Triton backend's per-request-prompt "
+                        "batching scenario (model.py:94-167); implies "
+                        "--use-cache")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
     assert args.text or args.text_file, "pass --text or --text-file"
@@ -54,24 +61,56 @@ def main():
     with open(args.prompt_wav, "rb") as f:
         wav_b64 = base64.b64encode(f.read()).decode()
 
-    if args.use_cache:
+    if args.num_speakers > 1:
+        # distinct speakers from one wav: different-length prefixes, so
+        # per-row prompt_features_lens actually differ in mixed batches
+        import io
+        import wave as wave_mod
+
+        with wave_mod.open(args.prompt_wav, "rb") as f:
+            sr, nch, sw = f.getframerate(), f.getnchannels(), f.getsampwidth()
+            raw = f.readframes(f.getnframes())
+        n_total = len(raw) // (nch * sw)
+        names = []
+        for i in range(args.num_speakers):
+            frac = 1.0 - 0.12 * (i % 5)  # 100%..52% of the prompt
+            n = max(int(n_total * frac), sr // 2)
+            buf = io.BytesIO()
+            with wave_mod.open(buf, "wb") as g:
+                g.setnchannels(nch)
+                g.setsampwidth(sw)
+                g.setframerate(sr)
+                g.writeframes(raw[: n * nch * sw])
+            name = f"bench{i}"
+            post(args.url, "/speaker", {
+                "name": name,
+                "prompt_text": args.prompt_text,
+                "prompt_wav_b64": base64.b64encode(buf.getvalue()).decode(),
+            })
+            names.append(name)
+
+        def payload_for(text, rid=0):
+            return {"speaker": names[rid % len(names)], "text": text}
+    elif args.use_cache:
         post(args.url, "/speaker", {
             "name": "bench",
             "prompt_text": args.prompt_text,
             "prompt_wav_b64": wav_b64,
         })
-        def payload_for(text):
+
+        def payload_for(text, rid=0):
             return {"speaker": "bench", "text": text}
     else:
-        def payload_for(text):
+        def payload_for(text, rid=0):
             return {
                 "text": text,
                 "prompt_text": args.prompt_text,
                 "prompt_wav_b64": wav_b64,
             }
 
-    # warmup (compile)
-    post(args.url, "/tts", payload_for(texts[0]))
+    # warmup (compile); touch every registered speaker
+    for i in range(max(args.num_speakers, 1)):
+        post(args.url, "/tts", payload_for(texts[0], i))
 
     for conc in map(int, args.concurrency.split(",")):
         latencies = []
@@ -81,9 +120,10 @@ def main():
 
         def worker(wid):
             for j in range(n_per):
-                text = texts[(wid + j * conc) % len(texts)]
+                rid = wid + j * conc
+                text = texts[rid % len(texts)]
                 t0 = time.perf_counter()
-                out = post(args.url, "/tts", payload_for(text))
+                out = post(args.url, "/tts", payload_for(text, rid))
                 dt = time.perf_counter() - t0
                 with lock:
                     latencies.append(dt)
