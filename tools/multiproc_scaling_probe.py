@@ -52,7 +52,9 @@ import jax.numpy as jnp
 sys.path.insert(0, os.environ["PROBE_REPO"])
 from __graft_entry__ import _BASE_CFG
 from zipvoice_tpu.models.zipvoice import ZipVoice
-from zipvoice_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from zipvoice_tpu.parallel.mesh import (
+    local_batch_rows, make_mesh, replicate_tree, shard_batch_per_host,
+)
 from zipvoice_tpu.train.optim import eden_schedule, scaled_adam
 from zipvoice_tpu.train.train_step import (
     TrainState, init_train_state, make_train_step,
@@ -60,36 +62,42 @@ from zipvoice_tpu.train.train_step import (
 
 model = ZipVoice(**_BASE_CFG)
 B, F, S = 8, model.feat_dim, 24
-local_rows = np.arange(pid * (B // num_procs), (pid + 1) * (B // num_procs))
+mesh = make_mesh(n_data=8)
+local_rows = local_batch_rows(mesh, B)
+n_local = len(local_rows)
 
 def load_local_batch(step_i):
     # per-host input loading: each process reads ONLY its rows from disk
-    # (train CLI local_rows sharding), then fills the global batch with
-    # zeros elsewhere; shard_batch device_puts only the local shard.
-    feats = np.zeros((B, T, F), np.float32)
-    for r in local_rows:
-        feats[r] = np.load(
-            os.path.join(data_dir, f"row{(r + step_i) % B}.npy")
-        )[:T]
+    # (train CLI local_rows sharding); shard_batch_per_host assembles the
+    # global sharded array without any process holding the full batch.
+    feats = np.stack([
+        np.load(os.path.join(data_dir, f"row{(r + step_i) % B}.npy"))[:T]
+        for r in local_rows
+    ])
     return {
         "tokens": np.tile(
-            np.arange(2, 2 + S, dtype=np.int32)[None], (B, 1)),
-        "tokens_lens": np.full((B,), S - 2, np.int32),
+            np.arange(2, 2 + S, dtype=np.int32)[None], (n_local, 1)),
+        "tokens_lens": np.full((n_local,), S - 2, np.int32),
         "features": feats,
-        "features_lens": np.full((B,), T, np.int32),
+        "features_lens": np.full((n_local,), T, np.int32),
     }
 
 batch0 = load_local_batch(0)
+full0 = {
+    "tokens": np.tile(np.arange(2, 2 + S, dtype=np.int32)[None], (B, 1)),
+    "tokens_lens": np.full((B,), S - 2, np.int32),
+    "features": np.zeros((B, T, F), np.float32),
+    "features_lens": np.full((B,), T, np.int32),
+}
 params = model.init(
     {"params": jax.random.PRNGKey(3)},
-    tokens=jnp.asarray(batch0["tokens"]),
-    tokens_lens=jnp.asarray(batch0["tokens_lens"]),
-    features=jnp.asarray(batch0["features"]),
-    features_lens=jnp.asarray(batch0["features_lens"]),
+    tokens=jnp.asarray(full0["tokens"]),
+    tokens_lens=jnp.asarray(full0["tokens_lens"]),
+    features=jnp.asarray(full0["features"]),
+    features_lens=jnp.asarray(full0["features_lens"]),
     noise=jnp.zeros((B, T, F)), t=jnp.full((B, 1, 1), 0.5),
     rng=jax.random.PRNGKey(4), train=False,
 )["params"]
-mesh = make_mesh(n_data=8)
 tx = scaled_adam(lr=eden_schedule(base_lr=0.02), clipping_scale=2.0)
 state = init_train_state(params, tx)
 state = TrainState(
@@ -100,13 +108,13 @@ state = TrainState(
 step = make_train_step(model, tx, mesh=mesh)
 key = jax.random.PRNGKey(5)
 # warmup (compile)
-state, m = step(state, shard_batch(batch0, mesh), key)
+state, m = step(state, shard_batch_per_host(batch0, mesh, B), key)
 _ = float(m["loss"])
 ts = []
 for i in range(n_steps):
     t0 = time.perf_counter()
     b = load_local_batch(i + 1)
-    state, m = step(state, shard_batch(b, mesh), key)
+    state, m = step(state, shard_batch_per_host(b, mesh, B), key)
     loss = float(m["loss"])  # blocks
     ts.append(time.perf_counter() - t0)
     print(f"proc {pid}: step {i} {ts[-1]:.3f}s loss={loss:.4f}",
@@ -125,7 +133,11 @@ def run(num_procs, tmp, port, t_frames, n_steps):
         f.write(WORKER)
     out = os.path.join(tmp, f"r{num_procs}.json")
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # do NOT inherit /root/.axon_site: these CPU workers must never touch
+    # the remote-TPU tunnel (the axon sitecustomize registers a client at
+    # interpreter start, and the relay is effectively single-tenant)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
     env["PROBE_REPO"] = REPO
     procs = [
         subprocess.Popen(
