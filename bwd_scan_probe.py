@@ -10,9 +10,12 @@ layers at T, 6 at T/2, 4 at T/4), it times
     fwd+bwd   jax.value_and_grad w.r.t. params (checksummed grads)
 
 with the relay-proof scan methodology of perf_scan_probe.py; the backward
-cost is the difference.  The whole-layer rows additionally run train=True
-(dropout + regularizer coins, the real training mode) vs train=False, so
-the regularizer-VJP share is its own measured line.
+cost is the difference.  Grad rows apply in TRAIN mode (train=True with
+dropout/regularizer rngs): that is the mode the training backward runs
+in, and for pallas components it is also the only differentiable path
+(eval uses the fused/strided-roll kernels, which have no VJP on purpose
+— training routes to the custom-VJP kernel pair).  The whole-layer
+eval-fwd row is kept as the inference-cost reference.
 
     python bwd_scan_probe.py [--b 8] [--t 1280] [--n 6] [--pallas]
         [--only layer,attnw,selfatt,nonlin,ff,conv]
@@ -72,7 +75,12 @@ def module_fn(mod, shapes, B, train=False, **apply_kw):
         kw = dict(apply_kw)
         rngs = None
         if train:
-            kw.update(train=True, dropout_rate=0.1)
+            import inspect
+
+            kw["train"] = True
+            if "dropout_rate" in inspect.signature(
+                    type(mod).__call__).parameters:
+                kw["dropout_rate"] = 0.1
             rngs = {"dropout": keys[-3], "reg": keys[-2], "skip": keys[-1]}
         out = mod.apply(p, **args, **kw, rngs=rngs)
         if isinstance(out, tuple):
@@ -104,7 +112,9 @@ def main():
     B = args.b
     levels = (tuple(int(x) for x in args.levels.split(","))
               if args.levels else (args.t, args.t // 2, args.t // 4))
-    kernel_by_level = {levels[0]: 31, levels[1]: 15, levels[2]: 7}
+    kernel_by_level = {
+        t: k for t, k in zip(levels, (31, 15, 7))
+    }
 
     for t_lvl in levels:
         use_pallas = args.pallas and t_lvl >= MIN_SEQ_LEN and t_lvl % 8 == 0
@@ -122,9 +132,9 @@ def main():
             shapes = {"src": (B, t_lvl, D)}
             kw = dict(pos_emb=pos, time_emb=jnp.zeros((B, 1, D), DT))
             p0, f_fwd = module_fn(mod, shapes, B, **kw)
-            timed_scan(f"layer {tag} fwd", f_fwd, args.n, p0)
-            timed_scan(f"layer {tag} fwd+bwd", grad_of(f_fwd), args.n, p0)
+            timed_scan(f"layer {tag} eval fwd", f_fwd, args.n, p0)
             _, f_tr = module_fn(mod, shapes, B, train=True, **kw)
+            timed_scan(f"layer {tag} train fwd", f_tr, args.n, p0)
             timed_scan(f"layer {tag} train fwd+bwd", grad_of(f_tr),
                        args.n, p0)
 
@@ -134,8 +144,12 @@ def main():
                 pos_head_dim=PD, dtype=DT, use_pallas=use_pallas,
             )
             p0, f0 = module_fn(mod, {"x": (B, t_lvl, D)}, B, pos_emb=pos)
+            _, f0t = module_fn(mod, {"x": (B, t_lvl, D)}, B, train=True,
+                               pos_emb=pos)
             timed_scan(f"attnw {tag} fwd", f0, args.n, p0)
-            timed_scan(f"attnw {tag} fwd+bwd", grad_of(f0), args.n, p0)
+            timed_scan(f"attnw {tag} train fwd", f0t, args.n, p0)
+            timed_scan(f"attnw {tag} train fwd+bwd", grad_of(f0t),
+                       args.n, p0)
 
         if want("selfatt"):
             mod = zf.SelfAttention(embed_dim=D, num_heads=H,
@@ -143,8 +157,12 @@ def main():
             p0, f0 = module_fn(
                 mod, {"x": (B, t_lvl, D),
                       "attn_weights": (B, H, t_lvl, t_lvl)}, B)
+            _, f0t = module_fn(
+                mod, {"x": (B, t_lvl, D),
+                      "attn_weights": (B, H, t_lvl, t_lvl)}, B, train=True)
             timed_scan(f"selfatt {tag} fwd", f0, args.n, p0)
-            timed_scan(f"selfatt {tag} fwd+bwd", grad_of(f0), args.n, p0)
+            timed_scan(f"selfatt {tag} train fwd+bwd", grad_of(f0t),
+                       args.n, p0)
 
         if want("nonlin"):
             mod = zf.NonlinAttention(channels=D, hidden_channels=3 * D // 4,
@@ -152,23 +170,30 @@ def main():
             p0, f0 = module_fn(
                 mod, {"x": (B, t_lvl, D),
                       "attn_weights_head0": (B, t_lvl, t_lvl)}, B)
+            _, f0t = module_fn(
+                mod, {"x": (B, t_lvl, D),
+                      "attn_weights_head0": (B, t_lvl, t_lvl)}, B, train=True)
             timed_scan(f"nonlin {tag} fwd", f0, args.n, p0)
-            timed_scan(f"nonlin {tag} fwd+bwd", grad_of(f0), args.n, p0)
+            timed_scan(f"nonlin {tag} train fwd+bwd", grad_of(f0t),
+                       args.n, p0)
 
         if want("ff"):
             mod = zf.FeedforwardModule(embed_dim=D, feedforward_dim=FF_DIM,
                                        dtype=DT)
             p0, f0 = module_fn(mod, {"x": (B, t_lvl, D)}, B)
+            _, f0t = module_fn(mod, {"x": (B, t_lvl, D)}, B, train=True)
             timed_scan(f"ff {tag} fwd", f0, args.n, p0)
-            timed_scan(f"ff {tag} fwd+bwd", grad_of(f0), args.n, p0)
+            timed_scan(f"ff {tag} train fwd+bwd", grad_of(f0t),
+                       args.n, p0)
 
         if want("conv"):
             mod = zf.ConvolutionModule(channels=D, kernel_size=k_cnn,
                                        dtype=DT)
             p0, f0 = module_fn(mod, {"x": (B, t_lvl, D)}, B)
+            _, f0t = module_fn(mod, {"x": (B, t_lvl, D)}, B, train=True)
             timed_scan(f"conv k={k_cnn} {tag} fwd", f0, args.n, p0)
-            timed_scan(f"conv k={k_cnn} {tag} fwd+bwd", grad_of(f0),
-                       args.n, p0)
+            timed_scan(f"conv k={k_cnn} {tag} train fwd+bwd",
+                       grad_of(f0t), args.n, p0)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,9 @@ def main():
     p.add_argument("--concurrency", type=str, default="1,2,4,8")
     p.add_argument("--n", type=int, default=16,
                    help="requests per sweep point")
+    p.add_argument("--ttfb-text", type=str, default=None,
+                   help="long multi-chunk text for the streaming TTFB "
+                        "measurement (shows ttfb << total)")
     p.add_argument("--stream", action="store_true",
                    help="also measure streaming TTFB at concurrency 1")
     args = p.parse_args()
@@ -101,11 +104,12 @@ def main():
             "audio_s_per_s": round(audio / wall, 2),
         }
         if args.stream and c == 1:
-            ttfbs = []
+            ttfbs, totals = [], []
             for i in range(min(args.n, 8)):
                 req = json.dumps({
                     "speaker": args.speaker,
-                    "text": _TEXTS[i % len(_TEXTS)],
+                    "text": (args.ttfb_text
+                             or _TEXTS[i % len(_TEXTS)]),
                 }).encode()
                 t0 = time.perf_counter()
                 it = syn_stream(req)
@@ -113,8 +117,14 @@ def main():
                 ttfbs.append(time.perf_counter() - t0)
                 for _ in it:  # drain
                     pass
+                totals.append(time.perf_counter() - t0)
             ttfbs.sort()
+            totals.sort()
             point["ttfb_p50"] = round(ttfbs[len(ttfbs) // 2], 3)
+            # total stream wall: ttfb << total is the decoupled-mode win
+            # on multi-chunk texts (reference Triton decoupled mode,
+            # runtime/nvidia_triton/README.md:146-157)
+            point["stream_total_p50"] = round(totals[len(totals) // 2], 3)
         print(json.dumps(point), flush=True)
 
 
