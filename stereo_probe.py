@@ -54,24 +54,35 @@ def main():
         "features": (rng.randn(B, T, n_ch * F) * 0.3).astype(np.float32),
         "features_lens": np.full((B,), T, np.int32),
     }
-    # params are the SAME tree for both modes (the stereo model's input
-    # proj takes 5F mixed: xt 2F + text F + speech 2F); init with the
-    # stereo shapes
-    init_feats = (rng.randn(B, T, 2 * F) * 0.3).astype(np.float32)
-    init_kwargs = dict(
-        tokens=jnp.asarray(batch["tokens"]),
-        tokens_lens=jnp.asarray(batch["tokens_lens"]),
-        features=jnp.asarray(init_feats),
-        features_lens=jnp.asarray(batch["features_lens"]),
-        noise=jnp.zeros((B, T, 2 * F)),
-        t=jnp.full((B, 1, 1), 0.5),
-        train=False,
-        se_weight=1.0,
-        speech_condition_mask=jnp.zeros((B, T), bool),
-    )
-    params = jax.device_put(
-        host_init_params(model, rng, **init_kwargs)["params"]
-    )
+    # the stereo model has BOTH projection sets: stream0 (stereo,
+    # se_weight=1 on (B,T,2F)) and stream1 (mixed, se_weight=0 on
+    # (B,T,F)); the trainer alternates programs over ONE param tree, so
+    # init with both input widths and merge (train CLI does the same via
+    # its grafted init, bin/train_zipvoice.py:401-419)
+    def init_for(n_ch_, se_w):
+        feats = (rng.randn(B, T, n_ch_ * F) * 0.3).astype(np.float32)
+        kw = dict(
+            tokens=jnp.asarray(batch["tokens"]),
+            tokens_lens=jnp.asarray(batch["tokens_lens"]),
+            features=jnp.asarray(feats),
+            features_lens=jnp.asarray(batch["features_lens"]),
+            noise=jnp.zeros((B, T, n_ch_ * F)),
+            t=jnp.full((B, 1, 1), 0.5),
+            train=False,
+            se_weight=se_w,
+            speech_condition_mask=jnp.zeros((B, T), bool),
+        )
+        return host_init_params(model, rng, **kw)["params"]
+
+    def merge(a, b):
+        if not isinstance(a, dict):
+            return a
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = merge(out[k], v) if k in out else v
+        return out
+
+    params = jax.device_put(merge(init_for(2, 1.0), init_for(1, 0.0)))
     n_par = sum(p.size for p in jax.tree.leaves(params))
     print(f"# ZipVoiceDialogStereo params: {n_par / 1e6:.1f}M "
           f"mode={args.mode}", flush=True)
