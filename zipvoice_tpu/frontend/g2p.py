@@ -126,6 +126,22 @@ def get_g2p(voice: str = "en-us"):
                 "G2P (espeak-convention IPA; see frontend/en_g2p.py)"
             )
             backend = EnglishG2P(voice)
+        elif voice.startswith("es"):
+            from zipvoice_tpu.frontend.es_g2p import SpanishG2P
+
+            logging.info(
+                "libespeak-ng unavailable; using the first-party Spanish "
+                "G2P (espeak-convention IPA; see frontend/es_g2p.py)"
+            )
+            backend = SpanishG2P(voice)
+        elif voice.startswith("de"):
+            from zipvoice_tpu.frontend.de_g2p import GermanG2P
+
+            logging.info(
+                "libespeak-ng unavailable; using the first-party German "
+                "G2P (espeak-convention IPA; see frontend/de_g2p.py)"
+            )
+            backend = GermanG2P(voice)
         else:
             logging.warning(
                 f"libespeak-ng unavailable and no first-party G2P for "
