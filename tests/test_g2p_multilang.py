@@ -107,3 +107,40 @@ def test_dispatcher_routes_es_de(monkeypatch):
     assert type(g2p.get_g2p("de")).__name__ == "GermanG2P"
     assert type(g2p.get_g2p("en-us")).__name__ == "EnglishG2P"
     assert type(g2p.get_g2p("fr")).__name__ == "CharG2P"
+
+
+def test_italian_pins():
+    from zipvoice_tpu.frontend.it_g2p import ItalianG2P
+
+    g = ItalianG2P()
+    cases = {
+        "ciao": "tʃˈao",                # soft c, silent i
+        "chiesa": "kjˈeza",             # ch hardens, intervocalic s -> z
+        "gnocchi": "ɲˈokki",            # gn + geminate cch
+        "famiglia": "famˈiʎa",          # gli
+        "pizza": "pˈittsa",             # geminate affricate
+        "scienza": "ʃˈentsa",           # sci
+        "scuola": "skwˈola",            # sc + back vowel stays sk
+        "città": "tʃittˈa",             # accent wins
+        "gelato": "dʒelˈato",
+        "quando": "kwˈando",
+        "oggi": "ˈoddʒi",               # geminate soft g keeps its vowel
+        "bello": "bˈello",              # geminates kept doubled
+        "zero": "dzˈero",               # initial z voiced
+        "casa": "kˈaza",
+    }
+    for w, want in cases.items():
+        assert g.word_to_ipa(w) == want, (w, g.word_to_ipa(w), want)
+
+
+def test_dispatcher_routes_it(monkeypatch):
+    from zipvoice_tpu.frontend import g2p
+
+    monkeypatch.setattr(g2p, "_BACKEND_CACHE", {})
+
+    class _NoEspeak:
+        def __init__(self, voice):
+            raise RuntimeError("forced absent")
+
+    monkeypatch.setattr(g2p, "EspeakG2P", _NoEspeak)
+    assert type(g2p.get_g2p("it")).__name__ == "ItalianG2P"

@@ -118,7 +118,7 @@ class SpanishG2P:
                 segs.append("w")
                 i += 1
             elif c == "c":
-                if nxt in "eiéí":
+                if nxt and nxt in "eiéí":
                     segs.append(th)
                 elif nxt == "h":
                     segs.append("tʃ")
@@ -127,9 +127,9 @@ class SpanishG2P:
                     segs.append("k")
                 i += 1
             elif c == "g":
-                if nxt in "eiéí":
+                if nxt and nxt in "eiéí":
                     segs.append("x")
-                elif nxt == "u" and nxt2 in "eiéí":
+                elif nxt == "u" and nxt2 and nxt2 in "eiéí":
                     # gue/gui: silent u
                     segs.append("ɣ" if prev_is_vowel() else "ɡ")
                     i += 1

@@ -142,6 +142,14 @@ def get_g2p(voice: str = "en-us"):
                 "G2P (espeak-convention IPA; see frontend/de_g2p.py)"
             )
             backend = GermanG2P(voice)
+        elif voice.startswith("it"):
+            from zipvoice_tpu.frontend.it_g2p import ItalianG2P
+
+            logging.info(
+                "libespeak-ng unavailable; using the first-party Italian "
+                "G2P (espeak-convention IPA; see frontend/it_g2p.py)"
+            )
+            backend = ItalianG2P(voice)
         else:
             logging.warning(
                 f"libespeak-ng unavailable and no first-party G2P for "
