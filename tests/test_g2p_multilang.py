@@ -106,7 +106,8 @@ def test_dispatcher_routes_es_de(monkeypatch):
     assert type(g2p.get_g2p("es-419")).__name__ == "SpanishG2P"
     assert type(g2p.get_g2p("de")).__name__ == "GermanG2P"
     assert type(g2p.get_g2p("en-us")).__name__ == "EnglishG2P"
-    assert type(g2p.get_g2p("fr")).__name__ == "CharG2P"
+    assert type(g2p.get_g2p("fr")).__name__ == "FrenchG2P"
+    assert type(g2p.get_g2p("pt")).__name__ == "CharG2P"
 
 
 def test_italian_pins():
@@ -144,3 +145,32 @@ def test_dispatcher_routes_it(monkeypatch):
 
     monkeypatch.setattr(g2p, "EspeakG2P", _NoEspeak)
     assert type(g2p.get_g2p("it")).__name__ == "ItalianG2P"
+
+
+def test_french_pins():
+    from zipvoice_tpu.frontend.fr_g2p import FrenchG2P
+
+    g = FrenchG2P()
+    cases = {
+        "bonjour": "bɔ̃ʒˈuʁ",           # nasal on + ʒ
+        "maison": "mɛzˈɔ̃",              # ai + intervocalic s -> z
+        "fille": "fij",                 # ill
+        "nuit": "nɥi",                  # ui glide
+        "beaucoup": "bokˈu",            # eau + silent final p
+        "chanter": "ʃɑ̃tˈe",             # -er -> e
+        "garçon": "ɡaʁsˈɔ̃",             # ç
+        "jardin": "ʒaʁdˈɛ̃",             # in nasal
+        "blanc": "blɑ̃",                 # silent final c after nasal
+        "mer": "mɛʁ",                   # short -er keeps ɛʁ
+        "grand": "ɡʁɑ̃",                 # silent final d
+        "trois": "tʁwa",                # oi + silent s (lexicon)
+        "moins": "mwɛ̃",                 # oin
+        "petit": "pətˈi",               # silent final t, schwa
+        "belle": "bɛl",                 # e before doubled consonant
+    }
+    for w, want in cases.items():
+        assert g.word_to_ipa(w) == want, (w, g.word_to_ipa(w), want)
+    # function words come from the lexicon (the irregular core)
+    assert g.word_to_ipa("les") == "le"
+    assert g.word_to_ipa("est") == "ɛ"
+    assert g.word_to_ipa("temps") == "tɑ̃"

@@ -150,6 +150,14 @@ def get_g2p(voice: str = "en-us"):
                 "G2P (espeak-convention IPA; see frontend/it_g2p.py)"
             )
             backend = ItalianG2P(voice)
+        elif voice.startswith("fr"):
+            from zipvoice_tpu.frontend.fr_g2p import FrenchG2P
+
+            logging.info(
+                "libespeak-ng unavailable; using the first-party French "
+                "G2P (espeak-convention IPA; see frontend/fr_g2p.py)"
+            )
+            backend = FrenchG2P(voice)
         else:
             logging.warning(
                 f"libespeak-ng unavailable and no first-party G2P for "
