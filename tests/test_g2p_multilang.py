@@ -174,3 +174,36 @@ def test_french_pins():
     assert g.word_to_ipa("les") == "le"
     assert g.word_to_ipa("est") == "ɛ"
     assert g.word_to_ipa("temps") == "tɑ̃"
+
+
+def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
+    """EspeakTokenizer (reference tokenizer.py:127-198) with es/de/it/fr
+    voices produces real phoneme token ids through the token-file path —
+    the full reference pipeline, not the char fallback."""
+    from zipvoice_tpu.frontend.g2p import phonemize_espeak
+    from zipvoice_tpu.frontend.tokenizer import EspeakTokenizer
+
+    texts = {
+        "es": "Hola, buenos días.",
+        "de": "Guten Morgen, wie geht es dir?",
+        "it": "Buongiorno, come stai?",
+        "fr": "Bonjour, comment allez-vous?",
+    }
+    # build one token file covering every codepoint the engines emit
+    # (the recipe token-builder's role, egs/zipvoice/local)
+    phones = set()
+    for voice, text in texts.items():
+        for clause in phonemize_espeak(text, voice):
+            phones.update(clause)
+    chars = ["_"] + sorted(phones)
+    tf = tmp_path / "tokens.txt"
+    tf.write_text("".join(f"{c}\t{i}\n" for i, c in enumerate(chars)))
+
+    for voice, text in texts.items():
+        tok = EspeakTokenizer(token_file=str(tf), lang=voice)
+        ids = tok.texts_to_token_ids([text])[0]
+        assert len(ids) > 10, (voice, ids)
+        assert all(isinstance(i, int) and i > 0 for i in ids), voice
+        # a stress mark must be present somewhere (real phonemization,
+        # not characters)
+        assert chars.index("ˈ") in ids, voice
