@@ -45,9 +45,9 @@ CASES = [
     ("他慢慢地走", {1: "man4", 3: "de5"}),
     # 还 hai2 vs huan2
     ("我还没吃饭", {1: "hai2"}),
-    ("请把钱还给我", {3: "huan2", 4: "gei3"}),
+    ("请把钱还给我", {3: "huan2", 4: "gei2"}),  # 给+我 boundary 3-3 merge
     # 发 fa1 vs fa4
-    ("经济发展很快", {2: "fa1", 3: "zhan3"}),
+    ("经济发展很快", {2: "fa1", 3: "zhan2"}),  # 展+很 boundary 3-3 merge
     ("她去理发了", {2: "li3", 3: "fa4"}),
     # 着 zhe5 vs zhao2
     ("他笑着说", {1: "zhe5"}),
@@ -65,7 +65,7 @@ CASES = [
     ("我喜欢数学", {3: "shu4", 4: "xue2"}),
     # 处 chu3 vs chu4
     ("他会处理这件事", {2: "chu2", 3: "li3"}),  # 3-3 sandhi in-word
-    ("这样做有很多好处", {7: "chu4"}),
+    ("这样做有很多好处", {7: "chu5"}),  # 好处 neutral (现汉: hao3·chu)
     # 相 xiang1 vs xiang4
     ("我相信你", {1: "xiang1", 2: "xin4"}),
     ("这台相机很贵", {2: "xiang4", 3: "ji1"}),

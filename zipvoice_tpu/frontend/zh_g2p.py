@@ -139,7 +139,7 @@ _SEED_WORDS = """
 认为 ren4 wei2
 重要 zhong4 yao4
 重新 chong2 xin1
-地方 di4 fang1
+地方 di4 fang5
 大地 da4 di4
 土地 tu3 di4
 慢慢地 man4 man4 de5
@@ -350,6 +350,7 @@ class PinyinLexicon:
         """hanzi string -> flat tone3 syllable list; unknown chars pass
         through verbatim (mirroring pypinyin's errors='default')."""
         words = self.segment(text)
+        words = _context_adjust(words)
         words = apply_tone_sandhi(words)
         flat: List[str] = []
         for word, readings in words:
@@ -379,11 +380,73 @@ class PinyinLexicon:
                 pairs.append((w, self.lookup_word(w)))
             else:
                 pairs.append((w, None))
+        pairs = _context_adjust(pairs)
         pairs = apply_tone_sandhi(pairs)
         flat: List[str] = []
         for word, readings in pairs:
             flat.extend(readings if readings is not None else [word])
         return flat
+
+
+# ---------------------------------------------------------------------------
+# Context rules for single-character polyphones that word entries cannot
+# disambiguate (the character stands alone as a segment).  These mirror
+# what jieba+pypinyin get from POS-aware phrase dictionaries; measured on
+# running text by tools/zh_stream.py.
+# ---------------------------------------------------------------------------
+
+# two-or-more-char words commonly followed by adverbial 地 (… de5)
+_ADV_BEFORE_DI = {
+    "认真", "努力", "仔细", "突然", "着急", "高兴", "兴奋", "激动",
+    "小心", "偷偷", "不停", "飞快", "迅速", "热情", "友好", "安静",
+    "清楚", "缓缓", "渐渐", "拼命", "用力", "大声", "小声", "耐心",
+    "轻轻", "慢慢", "好好", "悄悄", "静静", "默默", "深深", "紧紧",
+}
+
+_PRONOUN_WORDS = {"我", "你", "他", "她", "它", "您", "咱",
+                  "我们", "你们", "他们", "她们", "咱们", "大家"}
+
+_DIGIT_HANZI = set("零一二三四五六七八九十百千万亿两")
+_MEASURE_DETS = set("那这哪每几") | _DIGIT_HANZI
+
+
+def _is_han_redup(w: str) -> bool:
+    return len(w) == 2 and w[0] == w[1] and "一" <= w[0] <= "鿿"
+
+
+def _context_adjust(
+    words: List[Tuple[str, Optional[List[str]]]],
+) -> List[Tuple[str, Optional[List[str]]]]:
+    """Adjust single-char polyphone segments by neighboring segments.
+    Runs after segmentation, before tone sandhi."""
+    out = list(words)
+    for i, (w, r) in enumerate(out):
+        if r is None:
+            continue
+        prev_w = out[i - 1][0] if i > 0 else ""
+        next_w = out[i + 1][0] if i + 1 < len(out) else ""
+        prev2_w = out[i - 2][0] if i > 1 else ""
+        if w == "地" and (_is_han_redup(prev_w)
+                          or prev_w in _ADV_BEFORE_DI
+                          # redup split into two single-char segments
+                          or (len(prev_w) == 1 and prev_w == prev2_w
+                              and "一" <= prev_w <= "鿿")):
+            out[i] = ("地", ["de5"])  # adverbial particle
+        elif (len(w) >= 3 and w.endswith("地") and len(r) == len(w)
+              and (_is_han_redup(w[:-1]) or w[:-1] in _ADV_BEFORE_DI)):
+            # jieba keeps adverb+地 as one word (轻轻地/认真地)
+            out[i] = (w, r[:-1] + ["de5"])
+        elif w == "教":
+            # standalone 教 is the verb "teach" (jiao1); noun/religion
+            # senses (教室/教育/宗教/请教/...) live in multi-char entries
+            out[i] = ("教", ["jiao1"])
+        elif w == "只" and prev_w and prev_w[-1] in _MEASURE_DETS:
+            out[i] = ("只", ["zhi1"])  # measure word after det/numeral
+        elif w == "得" and prev_w in _PRONOUN_WORDS:
+            out[i] = ("得", ["dei3"])  # modal "must" after a pronoun
+        elif w == "种" and next_w and next_w[0] in "着了过在下上到满好":
+            out[i] = ("种", ["zhong4"])  # verb "plant" before aspect/result
+    return out
 
 
 def _tone(s: str) -> str:
@@ -418,15 +481,38 @@ def apply_tone_sandhi(
         return bool(r) and all(_tone(s) == "3" for s in r)
 
     merged: List[Tuple[str, Optional[List[str]]]] = []
+    merged_flag: List[bool] = []
     for word, r in words:
         if (merged and _all_tone3(r)
                 and _all_tone3(merged[-1][1])
                 and len(merged[-1][1]) + len(r) <= 3):
             pw, pr = merged[-1]
             merged[-1] = (pw + word, pr + list(r))
+            merged_flag[-1] = True
         else:
             merged.append((word, list(r) if r is not None else None))
-    words = merged
+            merged_flag.append(False)
+    # second merge rule (PaddleSpeech _merge_continuous_three_tones_2):
+    # boundary 3-3 across adjacent words merges them into one domain
+    # (很+好听 -> hen2 hao3 ting1) when the combined length stays <= 3,
+    # the left word is not a reduplication, and it was not itself
+    # produced by a merge (merge_last gate)
+    merged2: List[Tuple[str, Optional[List[str]]]] = []
+    merged2_flag: List[bool] = []
+    for (word, r), was_merged in zip(merged, merged_flag):
+        if (merged2 and r is not None and merged2[-1][1]
+                and not merged2_flag[-1] and not was_merged
+                and _tone(merged2[-1][1][-1]) == "3"
+                and _tone(r[0]) == "3"
+                and not _is_han_redup(merged2[-1][0])
+                and len(merged2[-1][1]) + len(r) <= 3):
+            pw, pr = merged2[-1]
+            merged2[-1] = (pw + word, pr + list(r))
+            merged2_flag[-1] = True
+        else:
+            merged2.append((word, r))
+            merged2_flag.append(was_merged)
+    words = merged2
     # flatten view of syllables with (word_idx, syl_idx) back-pointers
     readings = [list(r) if r is not None else None for _, r in words]
 
@@ -456,6 +542,21 @@ def apply_tone_sandhi(
                 if nxt and _tone(nxt) == "4":
                     r[si] = _set_tone(r[si], "2")
             elif ch == "一":
+                # ordinal/numeral 一 keeps yi1: after 第 or another
+                # digit (十一, 第一), or before a date unit (一月/一日/
+                # 一号/一年) — pypinyin's ToneSandhi._yi_ carve-outs
+                if si > 0:
+                    prev_ch = word[si - 1]
+                else:
+                    prev_ch = words[wi - 1][0][-1] if wi > 0 else ""
+                if si + 1 < len(word):
+                    next_ch = word[si + 1]
+                else:
+                    next_ch = (words[wi + 1][0][0]
+                               if wi + 1 < len(words) else "")
+                if prev_ch in _DIGIT_HANZI or prev_ch == "第" \
+                        or next_ch in "月日号":
+                    continue
                 nxt = next_syllable(wi, si)
                 if nxt and _tone(nxt) == "4":
                     r[si] = _set_tone(r[si], "2")
