@@ -100,6 +100,9 @@ def main():
                          "policy would (T >= MIN_SEQ_LEN)")
     ap.add_argument("--only", type=str, default=None)
     ap.add_argument("--levels", type=str, default=None)
+    ap.add_argument("--pallas-conv", action="store_true",
+                    help="route ConvolutionModule through the custom-VJP "
+                         "pallas depthwise kernel")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
@@ -188,11 +191,13 @@ def main():
 
         if want("conv"):
             mod = zf.ConvolutionModule(channels=D, kernel_size=k_cnn,
-                                       dtype=DT)
+                                       dtype=DT,
+                                       use_pallas=args.pallas_conv)
+            ctag = tag + (" pconv" if args.pallas_conv else "")
             p0, f0 = module_fn(mod, {"x": (B, t_lvl, D)}, B)
             _, f0t = module_fn(mod, {"x": (B, t_lvl, D)}, B, train=True)
-            timed_scan(f"conv k={k_cnn} {tag} fwd", f0, args.n, p0)
-            timed_scan(f"conv k={k_cnn} {tag} train fwd+bwd",
+            timed_scan(f"conv k={k_cnn} {ctag} fwd", f0, args.n, p0)
+            timed_scan(f"conv k={k_cnn} {ctag} train fwd+bwd",
                        grad_of(f0t), args.n, p0)
 
 

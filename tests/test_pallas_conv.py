@@ -72,3 +72,34 @@ def test_conv_module_pallas_flag():
     out = mod_p.apply(params, x, key_padding_mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("k", [7, 15, 31])
+def test_depthwise_conv_vjp_grads_match_lax(k):
+    """Pallas fwd+bwd (custom VJP) vs lax grouped-conv autodiff."""
+    from zipvoice_tpu.ops.pallas_conv import depthwise_conv1d_vjp
+
+    B, T, C = 2, 64, 128
+    rng = np.random.RandomState(k)
+    v = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    w = jnp.asarray((rng.randn(k, C) * 0.1).astype(np.float32))
+    b = jnp.asarray((rng.randn(C) * 0.1).astype(np.float32))
+    ct = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+
+    def ref_fn(v, w, b):
+        out = jax.lax.conv_general_dilated(
+            v, w.reshape(k, 1, C), window_strides=(1,),
+            padding=[(k // 2, k // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=C,
+        ) + b
+        return jnp.sum(out * ct)
+
+    def pal_fn(v, w, b):
+        return jnp.sum(depthwise_conv1d_vjp(v, w, b, True) * ct)
+
+    ref_grads = jax.grad(ref_fn, argnums=(0, 1, 2))(v, w, b)
+    pal_grads = jax.grad(pal_fn, argnums=(0, 1, 2))(v, w, b)
+    for rg, pg in zip(ref_grads, pal_grads):
+        np.testing.assert_allclose(np.asarray(pg), np.asarray(rg),
+                                   rtol=1e-4, atol=1e-4)

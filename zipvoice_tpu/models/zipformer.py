@@ -594,11 +594,15 @@ class ConvolutionModule(nn.Module):
         )
         b = self.param("depthwise_bias", torch_linear_bias_init(fan_in), (C,))
         if self.use_pallas:
-            from zipvoice_tpu.ops.pallas_conv import depthwise_conv1d
+            # custom-VJP kernel: pallas forward AND pallas backward
+            # (dv/dw/db), so the flag is usable in training where the
+            # XLA depthwise weight-grad is the layer's worst bwd/fwd
+            # ratio (PERF.md round-5 backward budget)
+            from zipvoice_tpu.ops.pallas_conv import depthwise_conv1d_vjp
 
-            v = depthwise_conv1d(
+            v = depthwise_conv1d_vjp(
                 v.astype(self.dtype), w.astype(self.dtype),
-                b.astype(self.dtype), interpret=self.pallas_interpret,
+                b.astype(self.dtype), self.pallas_interpret,
             )
         else:
             v = jax.lax.conv_general_dilated(

@@ -38,6 +38,104 @@ def _dwconv_kernel(v_ref, w_ref, b_ref, o_ref, *, kernel_size: int):
     )
 
 
+def _dwconv_bwd_kernel(vp_ref, gp_ref, w_ref, dv_ref, dw_ref, db_ref,
+                       *, kernel_size: int):
+    """Backward for the SAME-padded depthwise conv (odd kernel).
+
+    Per batch element i (sequential TPU grid):
+      dv[s, c] = sum_j gp[s + j, c] * w[k-1-j, c]   (flipped-filter conv)
+      dw[j, c] += sum_t vp[t + j, c] * g[t, c]      (accumulated over B)
+      db[c]    += sum_t g[t, c]
+
+    vp and gp are both padded by k//2 on each side (k odd); g's unpadded
+    rows sit at gp[pad : pad+T].  dw/db accumulate in f32 across the
+    grid via the constant-index output blocks (init at i == 0).
+    """
+    i = pl.program_id(0)
+    k = kernel_size
+    pad = k // 2
+    T = dv_ref.shape[1]
+    C = dv_ref.shape[2]
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    # fori_loop + dynamic slices keep exactly one (T, C) f32 temporary
+    # live at a time (a fully unrolled tap loop stacks k of them on the
+    # Mosaic scoped-vmem stack and OOMs at T=1280)
+    def dv_body(j, acc):
+        sl = gp_ref[0, pl.ds(j, T), :].astype(jnp.float32)
+        wrow = w_ref[pl.ds(k - 1 - j, 1), :].astype(jnp.float32)
+        return acc + sl * wrow
+
+    acc = jax.lax.fori_loop(
+        0, k, dv_body, jnp.zeros((T, C), jnp.float32)
+    )
+    dv_ref[0] = acc.astype(dv_ref.dtype)
+
+    g = gp_ref[0, pl.ds(pad, T), :].astype(jnp.float32)
+
+    def dw_body(j, _):
+        sl = vp_ref[0, pl.ds(j, T), :].astype(jnp.float32)
+        row = jnp.sum(sl * g, axis=0, keepdims=True)
+        dw_ref[pl.ds(j, 1), :] += row
+        return 0
+
+    jax.lax.fori_loop(0, k, dw_body, 0)
+    db_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def depthwise_conv1d_vjp(v: jax.Array, w: jax.Array, b: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Differentiable SAME-padded depthwise conv: pallas forward AND
+    pallas backward (the training-step lever recorded in PERF.md round
+    5 — conv weight-grad is the worst bwd/fwd ratio of the layer at
+    3.4x under XLA; reference ConvolutionModule zipformer.py:1547-1679).
+    Grad parity vs the lax path: tests/test_pallas_conv.py."""
+    return depthwise_conv1d(v, w, b, interpret=interpret)
+
+
+def _dwconv_vjp_fwd(v, w, b, interpret=False):
+    return depthwise_conv1d(v, w, b, interpret=interpret), (v, w)
+
+
+def _dwconv_vjp_bwd(interpret, res, g):
+    v, w = res
+    B, T, C = v.shape
+    k = w.shape[0]
+    assert k % 2 == 1, "SAME-padding backward assumes an odd kernel"
+    pad = k // 2
+    vp = jnp.pad(v, ((0, 0), (pad, pad), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (pad, pad), (0, 0)))
+    dv, dw, db = pl.pallas_call(
+        functools.partial(_dwconv_bwd_kernel, kernel_size=k),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T + k - 1, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, T + k - 1, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((k, C), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((k, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), v.dtype),
+            jax.ShapeDtypeStruct((k, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(vp, gp, w)
+    return dv, dw.astype(w.dtype), db[0].astype(w.dtype)
+
+
+depthwise_conv1d_vjp.defvjp(_dwconv_vjp_fwd, _dwconv_vjp_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def depthwise_conv1d(v: jax.Array, w: jax.Array, b: jax.Array,
                      interpret: bool = False) -> jax.Array:
