@@ -107,7 +107,8 @@ def test_dispatcher_routes_es_de(monkeypatch):
     assert type(g2p.get_g2p("de")).__name__ == "GermanG2P"
     assert type(g2p.get_g2p("en-us")).__name__ == "EnglishG2P"
     assert type(g2p.get_g2p("fr")).__name__ == "FrenchG2P"
-    assert type(g2p.get_g2p("pt")).__name__ == "CharG2P"
+    assert type(g2p.get_g2p("pt")).__name__ == "PortugueseG2P"
+    assert type(g2p.get_g2p("ru")).__name__ == "CharG2P"
 
 
 def test_italian_pins():
@@ -177,7 +178,7 @@ def test_french_pins():
 
 
 def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
-    """EspeakTokenizer (reference tokenizer.py:127-198) with es/de/it/fr
+    """EspeakTokenizer (reference tokenizer.py:127-198) with es/de/it/fr/pt
     voices produces real phoneme token ids through the token-file path —
     the full reference pipeline, not the char fallback."""
     from zipvoice_tpu.frontend.g2p import phonemize_espeak
@@ -188,6 +189,8 @@ def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
         "de": "Guten Morgen, wie geht es dir?",
         "it": "Buongiorno, come stai?",
         "fr": "Bonjour, comment allez-vous?",
+        "pt": "Bom dia, tudo bem?",
+        "pt-br": "Muito obrigado, até amanhã!",
     }
     # build one token file covering every codepoint the engines emit
     # (the recipe token-builder's role, egs/zipvoice/local)
@@ -207,3 +210,65 @@ def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
         # a stress mark must be present somewhere (real phonemization,
         # not characters)
         assert chars.index("ˈ") in ids, voice
+
+
+def test_portuguese_european_pins():
+    from zipvoice_tpu.frontend.pt_g2p import PortugueseG2P
+
+    g = PortugueseG2P("pt")
+    cases = {
+        "olá": "ulˈa",                  # EP pretonic o -> u
+        "obrigado": "ubɾiɡˈadu",        # final o -> u
+        "português": "puɾtuɡˈeʃ",       # EP coda s -> ʃ
+        "não": "nˈɐ̃w",                  # ão nasal diphthong
+        "coração": "kuɾɐsˈɐ̃w",          # ç -> s; ão final stress
+        "gente": "ʒˈẽtɨ",               # g+e -> ʒ; EP final e -> ɨ
+        "trabalho": "tɾɐbˈaʎu",         # lh -> ʎ
+        "chamar": "ʃɐmˈaɾ",             # ch -> ʃ
+        "casa": "kˈazɐ",                # intervocalic s -> z; final a -> ɐ
+        "quando": "kwˈɐ̃du",             # qu+a -> kw; nasal an
+        "muito": "mˈujtu",              # ui falling diphthong
+        "manhã": "mɐɲˈɐ̃",               # nh -> ɲ; ã final stress
+        "Brasil": "bɾɐzˈil",            # EP keeps coda l
+        "vez": "vˈeʃ",                  # EP final z -> ʃ
+        "queijo": "kˈejʒu",             # silent u after q; j -> ʒ
+    }
+    import unicodedata
+    for w, want in cases.items():
+        want = unicodedata.normalize("NFD", want)  # engine emits
+        # decomposed nasal vowels (each codepoint = one token)
+        assert g.word_to_ipa(w) == want, (w, g.word_to_ipa(w), want)
+
+
+def test_portuguese_brazilian_pins():
+    from zipvoice_tpu.frontend.pt_g2p import PortugueseG2P
+
+    g = PortugueseG2P("pt-br")
+    cases = {
+        "obrigado": "obɾiɡˈadu",        # BR keeps pretonic o
+        "dia": "dʒˈiɐ",                 # d+i palatalization
+        "gente": "ʒˈẽtʃi",              # t + final e->i palatalization
+        "Brasil": "bɾazˈiw",            # BR coda l -> w
+        "papel": "papˈew",
+        "feliz": "felˈis",              # BR final z -> s
+        "amigos": "amˈiɡos",            # BR coda s stays s
+        "cidade": "sidˈadʒi",
+    }
+    import unicodedata
+    for w, want in cases.items():
+        want = unicodedata.normalize("NFD", want)
+        assert g.word_to_ipa(w) == want, (w, g.word_to_ipa(w), want)
+
+
+def test_portuguese_dispatch_and_clauses():
+    from zipvoice_tpu.frontend.g2p import get_g2p
+    from zipvoice_tpu.frontend.pt_g2p import PortugueseG2P
+
+    g = get_g2p("pt-br")
+    # with libespeak absent in this image the first-party engine serves
+    assert isinstance(g, PortugueseG2P)
+    out = PortugueseG2P("pt").phonemize("Bom dia! Tudo bem?")
+    assert [c[-1] for c in out] == ["!", "?"]
+    for clause in out:
+        for ph in clause[:-1]:
+            assert len(ph) == 1  # token-file contract: 1 codepoint/token

@@ -150,6 +150,15 @@ def get_g2p(voice: str = "en-us"):
                 "G2P (espeak-convention IPA; see frontend/it_g2p.py)"
             )
             backend = ItalianG2P(voice)
+        elif voice.startswith("pt"):
+            from zipvoice_tpu.frontend.pt_g2p import PortugueseG2P
+
+            logging.info(
+                "libespeak-ng unavailable; using the first-party "
+                "Portuguese G2P (espeak-convention IPA; see "
+                "frontend/pt_g2p.py)"
+            )
+            backend = PortugueseG2P(voice)
         elif voice.startswith("fr"):
             from zipvoice_tpu.frontend.fr_g2p import FrenchG2P
 
