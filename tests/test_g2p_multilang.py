@@ -178,7 +178,7 @@ def test_french_pins():
 
 
 def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
-    """EspeakTokenizer (reference tokenizer.py:127-198) with es/de/it/fr/pt
+    """EspeakTokenizer (reference tokenizer.py:127-198) with es/de/it/fr/pt/pl
     voices produces real phoneme token ids through the token-file path —
     the full reference pipeline, not the char fallback."""
     from zipvoice_tpu.frontend.g2p import phonemize_espeak
@@ -191,6 +191,7 @@ def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
         "fr": "Bonjour, comment allez-vous?",
         "pt": "Bom dia, tudo bem?",
         "pt-br": "Muito obrigado, até amanhã!",
+        "pl": "Dziękuję bardzo, do widzenia.",
     }
     # build one token file covering every codepoint the engines emit
     # (the recipe token-builder's role, egs/zipvoice/local)
@@ -272,3 +273,42 @@ def test_portuguese_dispatch_and_clauses():
     for clause in out:
         for ph in clause[:-1]:
             assert len(ph) == 1  # token-file contract: 1 codepoint/token
+
+
+def test_polish_pins():
+    from zipvoice_tpu.frontend.pl_g2p import PolishG2P
+
+    g = PolishG2P("pl")
+    cases = {
+        "dziękuję": "dʑɛŋkˈujɛ",        # dzi; ę+k -> ɛŋ; final ę -> ɛ
+        "proszę": "prˈɔʂɛ",             # sz -> ʂ
+        "cześć": "tʂˈɛɕtɕ",             # cz -> tʂ; ś/ć soft
+        "człowiek": "tʂwˈɔvjɛk",        # ł -> w; i-glide
+        "miasto": "mjˈastɔ",            # palatalizing i
+        "książka": "kɕˈɔ̃ʂka",           # silent softening i; ż devoices
+        "wszystko": "fʂˈɨstkɔ",         # w devoices before ʂ; y -> ɨ
+        "świat": "ɕfjˈat",              # progressive devoicing of v
+        "rząd": "ʐˈɔnt",                # rz -> ʐ; ą+d -> ɔn; final d -> t
+        "łódź": "wˈutɕ",                # ó -> u; final dź -> tɕ
+        "szkoła": "ʂkˈɔwa",
+        "dobrze": "dˈɔbʐɛ",
+        "jestem": "jˈɛstɛm",
+        "również": "rˈuvɲɛʂ",           # ni -> ɲ; final ż -> ʂ
+        "dziecko": "dʑˈɛtskɔ",
+    }
+    import unicodedata
+    for w, want in cases.items():
+        want = unicodedata.normalize("NFD", want)
+        assert g.word_to_ipa(w) == want, (w, g.word_to_ipa(w), want)
+
+
+def test_polish_dispatch():
+    from zipvoice_tpu.frontend.g2p import get_g2p
+    from zipvoice_tpu.frontend.pl_g2p import PolishG2P
+
+    assert isinstance(get_g2p("pl"), PolishG2P)
+    out = PolishG2P("pl").phonemize("Dzień dobry! Jak się masz?")
+    assert [c[-1] for c in out] == ["!", "?"]
+    for clause in out:
+        for ph in clause[:-1]:
+            assert len(ph) == 1
