@@ -178,7 +178,7 @@ def test_french_pins():
 
 
 def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
-    """EspeakTokenizer (reference tokenizer.py:127-198) with es/de/it/fr/pt/pl
+    """EspeakTokenizer (reference tokenizer.py:127-198) with es/de/it/fr/pt/pl/nl
     voices produces real phoneme token ids through the token-file path —
     the full reference pipeline, not the char fallback."""
     from zipvoice_tpu.frontend.g2p import phonemize_espeak
@@ -192,6 +192,7 @@ def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
         "pt": "Bom dia, tudo bem?",
         "pt-br": "Muito obrigado, até amanhã!",
         "pl": "Dziękuję bardzo, do widzenia.",
+        "nl": "Dank je wel, tot ziens.",
     }
     # build one token file covering every codepoint the engines emit
     # (the recipe token-builder's role, egs/zipvoice/local)
@@ -308,6 +309,46 @@ def test_polish_dispatch():
 
     assert isinstance(get_g2p("pl"), PolishG2P)
     out = PolishG2P("pl").phonemize("Dzień dobry! Jak się masz?")
+    assert [c[-1] for c in out] == ["!", "?"]
+    for clause in out:
+        for ph in clause[:-1]:
+            assert len(ph) == 1
+
+
+def test_dutch_pins():
+    from zipvoice_tpu.frontend.nl_g2p import DutchG2P
+
+    g = DutchG2P("nl")
+    cases = {
+        "water": "ʋˈaːtər",             # open-syllable long a; final -er ə
+        "huis": "hˈœys",                # ui -> œy
+        "ijs": "ˈɛis",                  # ij -> ɛi
+        "school": "sxˈoːl",             # sch -> sx; oo -> oː
+        "goedemorgen": "xˈudəmɔrxən",   # g -> x; oe -> u; linking e -> ə
+        "leven": "lˈeːvən",             # open syllable e; -en -> ən
+        "vrouw": "vrˈʌu",               # ouw, silent w
+        "nieuw": "nˈiw",                # ieuw
+        "mooi": "mˈoːj",                # ooi
+        "begrijpen": "bəxrˈɛipən",      # be- prefix: ə + stress shift
+        "verstaan": "vərstˈaːn",        # ver- prefix
+        "gezellig": "xəzˈɛlɪx",         # degemination ll
+        "tijd": "tˈɛit",                # final devoicing d -> t
+        "mensen": "mˈɛnsən",
+        "de": "də",                     # function-word schwa
+        "een": "ən",
+    }
+    import unicodedata
+    for w, want in cases.items():
+        want = unicodedata.normalize("NFD", want)
+        assert g.word_to_ipa(w) == want, (w, g.word_to_ipa(w), want)
+
+
+def test_dutch_dispatch():
+    from zipvoice_tpu.frontend.g2p import get_g2p
+    from zipvoice_tpu.frontend.nl_g2p import DutchG2P
+
+    assert isinstance(get_g2p("nl"), DutchG2P)
+    out = DutchG2P("nl").phonemize("Goedemorgen! Hoe gaat het?")
     assert [c[-1] for c in out] == ["!", "?"]
     for clause in out:
         for ph in clause[:-1]:

@@ -150,6 +150,14 @@ def get_g2p(voice: str = "en-us"):
                 "G2P (espeak-convention IPA; see frontend/it_g2p.py)"
             )
             backend = ItalianG2P(voice)
+        elif voice.startswith("nl"):
+            from zipvoice_tpu.frontend.nl_g2p import DutchG2P
+
+            logging.info(
+                "libespeak-ng unavailable; using the first-party Dutch "
+                "G2P (espeak-convention IPA; see frontend/nl_g2p.py)"
+            )
+            backend = DutchG2P(voice)
         elif voice.startswith("pl"):
             from zipvoice_tpu.frontend.pl_g2p import PolishG2P
 
