@@ -311,8 +311,8 @@ def test_server_batches_across_speakers(tiny_model_dir):
     }
     d1 = engine.submit(entry_a, "short text one.")
     d2 = engine.submit(entry_b, "short text two.")
-    s1, wav1 = d1.get(timeout=600)
-    s2, wav2 = d2.get(timeout=600)
+    s1, wav1, _tm1 = d1.get(timeout=600)
+    s2, wav2, _tm2 = d2.get(timeout=600)
     assert s1 == "ok" and s2 == "ok"
     assert len(wav1) > 0 and len(wav2) > 0
     # both speakers landed in one dispatch with per-row prompts

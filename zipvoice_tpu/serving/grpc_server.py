@@ -69,7 +69,7 @@ class _TTSHandler:
             context.abort(3, f"unknown speaker {req['speaker']!r}")
         done = self.engine.submit(entry, req["text"],
                                   speed=float(req.get("speed", 1.0)))
-        status, payload = done.get()
+        status, payload, _tm = done.get()
         if status != "ok":
             context.abort(13, payload)
         return _wav_bytes(payload[None], self.engine.pipeline.sampling_rate)

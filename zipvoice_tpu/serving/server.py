@@ -119,8 +119,10 @@ class TTSEngine:
     def submit(self, speaker_entry: dict, text: str,
                speed: float = 1.0) -> "queue.Queue":
         done: "queue.Queue" = queue.Queue(maxsize=1)
+        timing = {"submit": time.time()}
         tokens = self.pipeline.tokenizer.texts_to_token_ids([text])[0]
-        self.q.put((speaker_entry, tokens, done, speed))
+        timing["tokenized"] = time.time()
+        self.q.put((speaker_entry, tokens, done, speed, timing))
         return done
 
     def _run_sampler(self):
@@ -152,7 +154,7 @@ class TTSEngine:
 
                 by_bucket: Dict[int, List] = {}
                 for item in batch:
-                    entry, tokens, _, speed = item
+                    entry, tokens, _, speed, _ = item
                     pfl = entry["features"].shape[0]
                     ptl = max(len(entry["tokens"]), 1)
                     fl = pfl + int(np.ceil(
@@ -167,14 +169,17 @@ class TTSEngine:
                 # a grouping failure must not kill the sampler thread —
                 # every queued request would hang with no reply
                 logging.exception("batch grouping failed")
-                for _, _, done, _ in batch:
-                    done.put(("error", str(e)))
+                for _, _, done, _, _ in batch:
+                    done.put(("error", str(e), {}))
                 continue
             for _, items in groups:
-                tokens_list = [tokens for _, tokens, _, _ in items]
-                prompt_tokens = [e["tokens"] for e, _, _, _ in items]
-                prompt_feats = [e["features"] for e, _, _, _ in items]
-                speeds = [s for _, _, _, s in items]
+                tokens_list = [tokens for _, tokens, _, _, _ in items]
+                prompt_tokens = [e["tokens"] for e, _, _, _, _ in items]
+                prompt_feats = [e["features"] for e, _, _, _, _ in items]
+                speeds = [s for _, _, _, s, _ in items]
+                t_dispatch = time.time()
+                for _, _, _, _, tm in items:
+                    tm["dispatch"] = t_dispatch
                 try:
                     dev = self.pipeline._sample_batch_device(
                         tokens_list, prompt_tokens, prompt_feats,
@@ -184,9 +189,12 @@ class TTSEngine:
                     )
                 except Exception as e:  # noqa: BLE001
                     logging.exception("sample dispatch failed")
-                    for _, _, done, _ in items:
-                        done.put(("error", str(e)))
+                    for _, _, done, _, _ in items:
+                        done.put(("error", str(e), {}))
                     continue
+                t_disp_done = time.time()
+                for _, _, _, _, tm in items:
+                    tm["dispatched"] = t_disp_done
                 # blocks when 2 batches are already in flight
                 self._inflight.put((items, dev))
 
@@ -199,16 +207,20 @@ class TTSEngine:
             try:
                 feats = _np.asarray(x1_wo)[:B_real] / pipe.feat_scale
                 lens = _np.asarray(wo_lens)[:B_real]
+                t_dev = time.time()  # device arrays materialized
                 chunks = [feats[i, : lens[i]] for i in range(len(items))]
                 wavs = pipe._vocode_chunks(chunks)
-                for (entry_, _, done, _), wav in zip(items, wavs):
+                t_voc = time.time()
+                for (entry_, _, done, _, tm), wav in zip(items, wavs):
                     if entry_["prompt_rms"] < 0.1:
                         wav = wav * entry_["prompt_rms"] / 0.1
-                    done.put(("ok", wav))
+                    tm["device_done"] = t_dev
+                    tm["vocoded"] = t_voc
+                    done.put(("ok", wav, tm))
             except Exception as e:  # noqa: BLE001
                 logging.exception("finish failed")
-                for _, _, done, _ in items:
-                    done.put(("error", str(e)))
+                for _, _, done, _, _ in items:
+                    done.put(("error", str(e), {}))
 
 
 def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
@@ -296,7 +308,7 @@ def make_handler(engine: TTSEngine, model_name: str = "zipvoice"):
                     400, f"response_format {fmt!r} unsupported (wav|pcm)"
                 )
                 return
-            status, result = engine.submit(entry, text, speed=speed).get()
+            status, result, _tm = engine.submit(entry, text, speed=speed).get()
             if status != "ok":
                 self._openai_error(500, result, "server_error")
                 return
@@ -333,11 +345,21 @@ def make_handler(engine: TTSEngine, model_name: str = "zipvoice"):
                         f"_anon_{time.time()}", req["prompt_text"], wav, sr
                     )
                 done = engine.submit(entry, req["text"])
-                status, result = done.get()
+                status, result, tm = done.get()
                 if status != "ok":
                     self._json(500, {"error": result})
                     return
                 sr = engine.pipeline.sampling_rate
+                sub = tm.get("submit", t0)
+                phases = {
+                    "tokenize_ms": (tm.get("tokenized", sub) - sub) * 1e3,
+                    "queue_ms": (tm.get("dispatch", sub)
+                                 - tm.get("tokenized", sub)) * 1e3,
+                    "sample_ms": (tm.get("device_done", sub)
+                                  - tm.get("dispatch", sub)) * 1e3,
+                    "vocode_ms": (tm.get("vocoded", sub)
+                                  - tm.get("device_done", sub)) * 1e3,
+                } if tm else {}
                 self._json(200, {
                     "wav_b64": base64.b64encode(
                         _wav_bytes(result, sr)
@@ -345,6 +367,7 @@ def make_handler(engine: TTSEngine, model_name: str = "zipvoice"):
                     "sample_rate": sr,
                     "latency_s": time.time() - t0,
                     "audio_s": len(result) / sr,
+                    "timing": phases,
                 })
             else:
                 self._json(404, {"error": "not found"})
