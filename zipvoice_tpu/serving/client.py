@@ -115,6 +115,7 @@ def main():
     for conc in map(int, args.concurrency.split(",")):
         latencies = []
         audio_s = []
+        phases: dict = {}
         lock = threading.Lock()
         n_per = args.num_requests // conc
 
@@ -128,6 +129,8 @@ def main():
                 with lock:
                     latencies.append(dt)
                     audio_s.append(out["audio_s"])
+                    for k, v in (out.get("timing") or {}).items():
+                        phases.setdefault(k, []).append(v)
 
         t_start = time.perf_counter()
         threads = [
@@ -146,6 +149,20 @@ def main():
             f"P99 {np.percentile(lat, 99):.2f}ms avg {lat.mean():.2f}ms, "
             f"audio-s/s {sum(audio_s) / total:.2f}"
         )
+        if phases:
+            # server-side phase decomposition (P50/P90 per phase) — for
+            # attributing tail-latency variance to queueing vs compute
+            parts = []
+            for k in ("tokenize_ms", "queue_ms", "sample_ms",
+                      "vocode_ms"):
+                if k in phases:
+                    a = np.array(phases[k])
+                    parts.append(
+                        f"{k.removesuffix('_ms')} "
+                        f"{np.percentile(a, 50):.1f}/"
+                        f"{np.percentile(a, 90):.1f}"
+                    )
+            logging.info("  server phases P50/P90 ms: " + "  ".join(parts))
 
 
 if __name__ == "__main__":
