@@ -538,6 +538,16 @@ def apply_tone_sandhi(
             if si >= len(r):
                 break
             if ch == "不":
+                # A-not-A: X不X -> neutral 不 (pypinyin ToneSandhi._bu_),
+                # both word-internal (好不好 as one jieba word) and as
+                # three single-char segments
+                if (len(word) == 3 and si == 1 and word[0] == word[2]):
+                    r[si] = _set_tone(r[si], "5")
+                    continue
+                if (len(word) == 1 and 0 < wi < len(words) - 1
+                        and words[wi - 1][0] == words[wi + 1][0]):
+                    r[si] = _set_tone(r[si], "5")
+                    continue
                 nxt = next_syllable(wi, si)
                 if nxt and _tone(nxt) == "4":
                     r[si] = _set_tone(r[si], "2")
