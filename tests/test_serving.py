@@ -95,6 +95,12 @@ def test_server_end_to_end(tiny_model_dir):
     out = post("/tts", {"speaker": "spk1", "text": "a test sentence."})
     assert out["sample_rate"] == sr
     assert out["audio_s"] > 0
+    # phase decomposition rides in every reply (round 5: variance
+    # attribution); all phases non-negative, sample is the largest
+    tm = out["timing"]
+    assert set(tm) == {"tokenize_ms", "queue_ms", "sample_ms",
+                       "vocode_ms"}
+    assert all(v >= 0 for v in tm.values()), tm
     wav_bytes = base64.b64decode(out["wav_b64"])
     with wave_mod.open(io.BytesIO(wav_bytes), "rb") as f:
         assert f.getframerate() == sr
