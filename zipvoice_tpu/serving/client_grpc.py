@@ -61,6 +61,11 @@ def main():
                         "measurement (shows ttfb << total)")
     p.add_argument("--stream", action="store_true",
                    help="also measure streaming TTFB at concurrency 1")
+    p.add_argument("--stream-under-load", type=int, default=0,
+                   help="measure streaming TTFB while N unary workers "
+                        "keep the server loaded (the decoupled-mode "
+                        "latency question: does first audio stay "
+                        "responsive under traffic)")
     args = p.parse_args()
 
     import grpc
@@ -126,6 +131,50 @@ def main():
             # runtime/nvidia_triton/README.md:146-157)
             point["stream_total_p50"] = round(totals[len(totals) // 2], 3)
         print(json.dumps(point), flush=True)
+
+    if args.stream_under_load:
+        import threading
+
+        stop = threading.Event()
+
+        def bg(wid: int):
+            i = wid
+            while not stop.is_set():
+                one(i)
+                i += args.stream_under_load
+
+        workers = [
+            threading.Thread(target=bg, args=(w,), daemon=True)
+            for w in range(args.stream_under_load)
+        ]
+        for t in workers:
+            t.start()
+        time.sleep(3)  # let the load reach steady state
+        ttfbs, totals = [], []
+        for i in range(min(args.n, 8)):
+            req = json.dumps({
+                "speaker": args.speaker,
+                "text": args.ttfb_text or _TEXTS[i % len(_TEXTS)],
+            }).encode()
+            t0 = time.perf_counter()
+            it = syn_stream(req)
+            next(iter(it))
+            ttfbs.append(time.perf_counter() - t0)
+            for _ in it:
+                pass
+            totals.append(time.perf_counter() - t0)
+        stop.set()
+        for t in workers:
+            t.join(timeout=60)
+        ttfbs.sort()
+        totals.sort()
+        print(json.dumps({
+            "stream_under_load": args.stream_under_load,
+            "ttfb_p50": round(ttfbs[len(ttfbs) // 2], 3),
+            "ttfb_p90": round(ttfbs[min(len(ttfbs) - 1,
+                                        int(0.9 * len(ttfbs)))], 3),
+            "stream_total_p50": round(totals[len(totals) // 2], 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":
