@@ -353,3 +353,27 @@ def test_dutch_dispatch():
     for clause in out:
         for ph in clause[:-1]:
             assert len(ph) == 1
+
+
+def test_new_voice_sentence_pins():
+    """Sentence-level regression pins through the full phonemize()
+    clause machinery for the round-5 engines (outputs verified against
+    espeak conventions by hand, then frozen)."""
+    import unicodedata
+
+    from zipvoice_tpu.frontend.nl_g2p import DutchG2P
+    from zipvoice_tpu.frontend.pl_g2p import PolishG2P
+    from zipvoice_tpu.frontend.pt_g2p import PortugueseG2P
+
+    cases = [
+        (PortugueseG2P("pt-br"), "Muito obrigado, até amanhã!",
+         ["mˈujtu obɾiɡˈadu,", "atˈɛ amaɲˈɐ̃!"]),
+        (PolishG2P("pl"), "Dziękuję bardzo, do widzenia.",
+         ["dʑɛŋkˈujɛ bˈardzɔ,", "dˈɔ vidzˈɛɲa."]),
+        (DutchG2P("nl"), "Dank je wel, tot ziens.",
+         ["dˈɑnk jə ʋˈɛl,", "tˈɔt zˈins."]),
+    ]
+    for g, text, want in cases:
+        got = ["".join(c) for c in g.phonemize(text)]
+        want = [unicodedata.normalize("NFD", w) for w in want]
+        assert got == want, (text, got, want)
