@@ -108,7 +108,8 @@ def test_dispatcher_routes_es_de(monkeypatch):
     assert type(g2p.get_g2p("en-us")).__name__ == "EnglishG2P"
     assert type(g2p.get_g2p("fr")).__name__ == "FrenchG2P"
     assert type(g2p.get_g2p("pt")).__name__ == "PortugueseG2P"
-    assert type(g2p.get_g2p("ru")).__name__ == "CharG2P"
+    assert type(g2p.get_g2p("ru")).__name__ == "RussianG2P"
+    assert type(g2p.get_g2p("ko")).__name__ == "CharG2P"
 
 
 def test_italian_pins():
@@ -178,7 +179,7 @@ def test_french_pins():
 
 
 def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
-    """EspeakTokenizer (reference tokenizer.py:127-198) with es/de/it/fr/pt/pl/nl
+    """EspeakTokenizer (reference tokenizer.py:127-198) with es/de/it/fr/pt/pl/nl/ru
     voices produces real phoneme token ids through the token-file path —
     the full reference pipeline, not the char fallback."""
     from zipvoice_tpu.frontend.g2p import phonemize_espeak
@@ -193,6 +194,7 @@ def test_espeak_tokenizer_new_voices_end_to_end(tmp_path):
         "pt-br": "Muito obrigado, até amanhã!",
         "pl": "Dziękuję bardzo, do widzenia.",
         "nl": "Dank je wel, tot ziens.",
+        "ru": "Спасибо большое, до свидания.",
     }
     # build one token file covering every codepoint the engines emit
     # (the recipe token-builder's role, egs/zipvoice/local)
@@ -377,3 +379,43 @@ def test_new_voice_sentence_pins():
         got = ["".join(c) for c in g.phonemize(text)]
         want = [unicodedata.normalize("NFD", w) for w in want]
         assert got == want, (text, got, want)
+
+
+def test_russian_pins():
+    from zipvoice_tpu.frontend.ru_g2p import RussianG2P
+
+    g = RussianG2P("ru")
+    cases = {
+        "привет": "prʲivʲˈet",          # palatalization before и/е
+        "спасибо": "spɐsʲˈibə",         # akanye: pretonic ɐ, post ə
+        "хорошо": "xərɐʂˈo",            # two-level reduction
+        "молоко": "məlɐkˈo",
+        "здравствуйте": "zdrˈastvujtʲɪ",  # вств -> ств; lexicon stress
+        "сегодня": "sʲɪvˈodnʲɪ",        # г -> в lexicalized
+        "его": "jɪvˈo",                 # genitive -его -> ево
+        "ничего": "nʲitɕɪvˈo",
+        "красивого": "krɐsʲˈivəvə",     # stem-stress fallback
+        "она": "ɐnˈa",                  # word-initial akanye
+        "идёт": "idʲˈot",               # ё always stressed
+        "жизнь": "ʐˈɨznʲ",              # жи -> hard ɨ
+        "счастье": "ɕˈastʲjɪ",          # сч -> щ
+        "солнце": "sˈontsɪ",            # лнц -> нц
+        "друг": "drˈuk",                # final devoicing
+        "любовь": "lʲubˈofʲ",           # devoiced soft в
+        "россия": "rɐsʲˈijɪ",           # degemination сс
+        "тебя": "tʲɪbʲˈa",              # unstressed я -> ɪ
+    }
+    for w, want in cases.items():
+        assert g.word_to_ipa(w) == want, (w, g.word_to_ipa(w), want)
+
+
+def test_russian_dispatch():
+    from zipvoice_tpu.frontend.g2p import get_g2p
+    from zipvoice_tpu.frontend.ru_g2p import RussianG2P
+
+    assert isinstance(get_g2p("ru"), RussianG2P)
+    out = RussianG2P("ru").phonemize("Доброе утро! Как дела?")
+    assert [c[-1] for c in out] == ["!", "?"]
+    for clause in out:
+        for ph in clause[:-1]:
+            assert len(ph) == 1

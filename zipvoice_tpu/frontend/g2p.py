@@ -150,6 +150,14 @@ def get_g2p(voice: str = "en-us"):
                 "G2P (espeak-convention IPA; see frontend/it_g2p.py)"
             )
             backend = ItalianG2P(voice)
+        elif voice.startswith("ru"):
+            from zipvoice_tpu.frontend.ru_g2p import RussianG2P
+
+            logging.info(
+                "libespeak-ng unavailable; using the first-party Russian "
+                "G2P (espeak-convention IPA; see frontend/ru_g2p.py)"
+            )
+            backend = RussianG2P(voice)
         elif voice.startswith("nl"):
             from zipvoice_tpu.frontend.nl_g2p import DutchG2P
 
